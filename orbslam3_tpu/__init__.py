@@ -1,0 +1,22 @@
+"""orbslam3_tpu — a TPU-native visual / visual-inertial / multi-map SLAM framework.
+
+A from-scratch rebuild of the capability surface of ORB-SLAM3 (reference:
+/root/reference, UZ-SLAMLab ORB-SLAM3 V0.4 fork) designed TPU-first:
+
+- Device compute is fixed-shape, batched, functional JAX/XLA (+ Pallas kernels
+  for hot ops); the host runs the asynchronous SLAM state machine.
+- The reference's pointer-graph map model (KeyFrame/MapPoint objects,
+  covisibility graph) becomes masked structure-of-arrays pools with static
+  capacities, so every algorithm (matching, triangulation, bundle adjustment,
+  pose-graph optimization) is a jitted kernel over dense arrays.
+- g2o is replaced by our own Gauss-Newton / Levenberg-Marquardt solvers with
+  block-sparse Schur complement (`ops/ba.py`), DBoW2 by an array-form binary
+  vocabulary (`ops/vocab.py`), and the ORB extractor by batched pyramid
+  FAST+BRIEF kernels (`ops/features.py`).
+- Multi-chip scaling shards map points (landmark Schur blocks) over a
+  `jax.sharding.Mesh` (`parallel/`), with `psum`/`reduce_scatter` reductions
+  for the pose system — the TPU-native analogue of the reference's
+  thread-level pipeline (reference src/System.cc:135-161).
+"""
+
+__version__ = "0.1.0"
