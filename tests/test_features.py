@@ -1,0 +1,110 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.ops import features, matching
+from orbslam3_tpu.utils.datasets import SyntheticScene, orbit_trajectory
+
+CFG = features.OrbConfig(n_features=512)
+
+
+def _scene_pair(dt=3):
+    scene = SyntheticScene(n_points=400, seed=3)
+    poses = orbit_trajectory(dt + 1)
+    img0 = scene.render(*poses[0])
+    img1 = scene.render(*poses[dt])
+    return scene, poses, img0, img1
+
+
+def test_extract_finds_sprites():
+    scene, poses, img0, _ = _scene_pair()
+    feats = features.extract_orb(jnp.asarray(img0), CFG)
+    n = int(np.asarray(feats.valid).sum())
+    assert n > 150, n
+    # keypoints should lie near ground-truth sprite centers
+    u, v, z, inb = scene.project(*poses[0])
+    gt = np.stack([u[inb], v[inb]], -1)
+    xy = np.asarray(feats.xy)[np.asarray(feats.valid)]
+    d = np.linalg.norm(xy[:, None] - gt[None], axis=-1).min(axis=1)
+    # level-0 keypoints should be on the sprites — FAST fires at sprite corners,
+    # up to ~6.4 px from the center of a 9x9 sprite
+    oct0 = np.asarray(feats.octave)[np.asarray(feats.valid)] == 0
+    assert np.median(d[oct0]) < 6.5, np.median(d[oct0])
+
+
+def test_extract_deterministic():
+    _, _, img0, _ = _scene_pair()
+    f1 = features.extract_orb(jnp.asarray(img0), CFG)
+    f2 = features.extract_orb(jnp.asarray(img0), CFG)
+    assert np.array_equal(np.asarray(f1.xy), np.asarray(f2.xy))
+    assert np.array_equal(np.asarray(f1.desc), np.asarray(f2.desc))
+
+
+def test_blank_image_yields_no_keypoints():
+    img = jnp.zeros((480, 752), jnp.float32)
+    feats = features.extract_orb(img, CFG)
+    assert int(np.asarray(feats.valid).sum()) == 0
+
+
+def test_hamming_matrix_basics():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**32, size=(16, 8), dtype=np.uint32)
+    d = np.asarray(matching.hamming_matrix(jnp.asarray(a), jnp.asarray(a)))
+    assert np.all(np.diag(d) == 0)
+    # against complement: 256
+    comp = np.bitwise_not(a)
+    d2 = np.asarray(matching.hamming_matrix(jnp.asarray(a), jnp.asarray(comp)))
+    assert np.all(np.diag(d2) == 256)
+
+
+def test_matching_across_views_recovers_gt_correspondences():
+    scene, poses, img0, img1 = _scene_pair(dt=3)
+    f0 = features.extract_orb(jnp.asarray(img0), CFG)
+    f1 = features.extract_orb(jnp.asarray(img1), CFG)
+    idx, best, ok = matching.search_for_initialization(
+        f0.desc, f0.valid, f0.xy, f0.angle, f1.desc, f1.valid, f1.xy, f1.angle,
+        window=100.0, ratio=0.9,
+    )
+    okn = np.asarray(ok)
+    assert okn.sum() > 80, okn.sum()
+
+    # verify matches against ground truth: nearest gt point id for each keypoint
+    def gt_ids(feats, pose):
+        u, v, z, inb = scene.project(*pose)
+        gt = np.stack([u, v], -1)
+        xy = np.asarray(feats.xy)
+        d = np.linalg.norm(xy[:, None] - gt[None], axis=-1)
+        d[:, ~inb] = 1e9
+        ids = d.argmin(axis=1)
+        ids[d.min(axis=1) > 5.0] = -1
+        return ids
+
+    ids0 = gt_ids(f0, poses[0])
+    ids1 = gt_ids(f1, poses[3])
+    idxn = np.asarray(idx)
+    both = okn & (ids0 >= 0) & (ids1[idxn] >= 0)
+    agree = (ids0[both] == ids1[idxn[both]])
+    assert both.sum() > 50
+    assert agree.mean() > 0.8, agree.mean()
+
+
+def test_resolve_duplicates():
+    idx = jnp.asarray([0, 0, 1], jnp.int32)
+    best = jnp.asarray([5, 3, 7], jnp.int32)
+    ok = jnp.asarray([True, True, True])
+    out = np.asarray(matching.resolve_duplicates(idx, best, ok, 4))
+    assert list(out) == [False, True, True]
+
+
+def test_rotation_consistency_rejects_outlier_rotation():
+    n = 100
+    rng = np.random.default_rng(1)
+    angle_b = rng.uniform(0, 2 * np.pi, size=n).astype(np.float32)
+    angle_a = angle_b + 0.3  # consistent rotation
+    angle_a[:5] += np.pi  # 5 inconsistent matches
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ok = jnp.ones(n, bool)
+    out = np.asarray(matching.rotation_consistency(
+        jnp.asarray(angle_a), jnp.asarray(angle_b), idx, ok))
+    assert out[5:].mean() > 0.95
+    assert out[:5].sum() == 0
