@@ -1,0 +1,157 @@
+"""Jit-compiled composite kernels used by the tracking / mapping drivers.
+
+Each factory returns a jitted function with fixed shapes (one XLA compilation
+per configuration). These fuse what the reference does in separate CPU passes:
+``Frame::isInFrustum`` (reference src/Frame.cc:603) + ``ORBmatcher::
+SearchByProjection`` (src/ORBmatcher.cc:45) become one device kernel;
+``SearchForTriangulation`` (:1107) + DLT triangulation + the CheckRT gates
+(src/LocalMapping.cc:487-497 loop) become another.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as cam_ops
+from ..ops import lie, matching, triangulation
+
+
+@functools.lru_cache(maxsize=None)
+def projection_matcher(cam_type: int, n_levels: int, scale: float,
+                       octave_lo: int = 1, octave_hi: int = 1):
+    """Fused frustum-check + projection-window matcher.
+
+    Returns fn(mp_xyz (M,3), mp_desc (M,8), mp_normal (M,3), mp_mind (M,),
+               mp_maxd (M,), mp_valid (M,), R, t, cam_params,
+               feat_xy (N,2), feat_desc (N,8), feat_octave (N,), feat_valid (N,),
+               wh (2,), base_radius (), ratio (), max_dist (), view_cos_th ())
+        → (idx (M,), ok (M,), pred_uv (M,2), pred_level (M,))
+    """
+    sf = jnp.asarray([scale ** i for i in range(n_levels)], jnp.float32)
+    log_scale = jnp.log(jnp.asarray(scale, jnp.float32))
+
+    @jax.jit
+    def fn(mp_xyz, mp_desc, mp_normal, mp_mind, mp_maxd, mp_valid, R, t,
+           cam_params, feat_xy, feat_desc, feat_octave, feat_valid, wh,
+           base_radius, ratio, max_dist, view_cos_th):
+        xc = lie.se3_apply(R, t, mp_xyz)
+        z_ok = xc[..., 2] > 0.05
+        uv = cam_ops.project(cam_type, cam_params, xc)
+        in_img = (
+            (uv[:, 0] >= 0) & (uv[:, 0] < wh[0]) & (uv[:, 1] >= 0) & (uv[:, 1] < wh[1])
+        )
+        # distance / viewing-angle gates (reference Frame::isInFrustum)
+        cam_center = -R.T @ t
+        d = mp_xyz - cam_center
+        dist = jnp.linalg.norm(d, axis=-1)
+        dist_ok = (dist > 0.8 * mp_mind) & (dist < 1.2 * mp_maxd)
+        view_cos = jnp.sum(d * mp_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+        view_ok = view_cos > view_cos_th
+        # predicted pyramid level (reference MapPoint::PredictScale)
+        lvl = jnp.ceil(jnp.log(jnp.maximum(mp_maxd, 1e-9) / jnp.maximum(dist, 1e-9)) / log_scale)
+        lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+        frustum_ok = mp_valid & z_ok & in_img & dist_ok & view_ok
+
+        radius = base_radius * sf[lvl]
+        dist_m = matching.hamming_matrix(mp_desc, feat_desc)
+        mask = (
+            frustum_ok[:, None] & feat_valid[None, :]
+            & matching.window_mask(uv, feat_xy, radius)
+            & matching.octave_mask(lvl, feat_octave, octave_lo, octave_hi)
+        )
+        d_big = jnp.where(mask, dist_m, matching.BIG)
+        idx = jnp.argmin(d_big, axis=1)
+        best = jnp.take_along_axis(d_big, idx[:, None], axis=1)[:, 0]
+        ok = best <= max_dist
+        d2 = d_big.at[jnp.arange(d_big.shape[0]), idx].set(matching.BIG)
+        second = jnp.min(d2, axis=1)
+        ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+        ok = matching.resolve_duplicates(idx, best, ok, feat_desc.shape[0])
+        return idx, ok, uv, lvl, frustum_ok
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def pose_opt_kernel(cam_type: int, rounds: int = 4, iters: int = 10):
+    from ..ops import pose_opt
+
+    @jax.jit
+    def fn(R0, t0, pts_w, uv, inv_sigma2, valid, cam_params):
+        return pose_opt.pose_optimize(
+            R0, t0, pts_w, uv, inv_sigma2, valid, cam_params,
+            cam_type=cam_type, rounds=rounds, iters=iters)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def init_matcher():
+    @jax.jit
+    def fn(desc1, valid1, xy1, angle1, desc2, valid2, xy2, angle2):
+        return matching.search_for_initialization(
+            desc1, valid1, xy1, angle1, desc2, valid2, xy2, angle2)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def two_view_kernel(sigma_n: float):
+    from ..ops import twoview
+
+    @jax.jit
+    def fn(x1, x2, valid, rand_sets):
+        return twoview.reconstruct_two_views(x1, x2, valid, rand_sets, sigma_n=sigma_n)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def triangulation_matcher(cam_type: int, n_levels: int, scale: float):
+    """Epipolar-constrained matching of unmatched features between two KFs +
+    batched triangulation + acceptance gates. Operates in normalized coords.
+
+    fn(R1,t1,R2,t2, cam_params,
+       xy1 (N,2) desc1 valid1 oct1, xy2 (N,2) desc2 valid2 oct2,
+       ratio, max_dist)
+      → (idx (N,), ok (N,), xw (N,3))  — for each feature of KF1: matched
+        feature in KF2, acceptance, triangulated world point.
+    """
+    sf2 = jnp.asarray([(scale ** i) ** 2 for i in range(n_levels)], jnp.float32)
+
+    @jax.jit
+    def fn(R1, t1, R2, t2, cam_params, xy1, desc1, valid1, oct1,
+           xy2, desc2, valid2, oct2, ratio, max_dist, sigma_n):
+        rays1 = cam_ops.unproject(cam_type, cam_params, xy1)
+        rays2 = cam_ops.unproject(cam_type, cam_params, xy2)
+        # relative pose c2←c1: T21 = T2 ∘ inv(T1)
+        R1i, t1i = lie.se3_inverse(R1, t1)
+        R21, t21 = lie.se3_compose(R2, t2, R1i, t1i)
+        # essential matrix E = [t]x R (x2^T E x1 = 0)
+        E = lie.hat(t21) @ R21
+        # epipolar distance in *pixel* units using the pinhole focal
+        l2 = rays1 @ E.T  # lines in normalized cam2 coords
+        fx, fy = cam_params[0], cam_params[1]
+        a = l2[:, 0] / fx
+        b = l2[:, 1] / fy
+        cx, cy = cam_params[2], cam_params[3]
+        c = l2[:, 2] - l2[:, 0] * cx / fx - l2[:, 1] * cy / fy
+        num = a[:, None] * xy2[None, :, 0] + b[:, None] * xy2[None, :, 1] + c[:, None]
+        dsq = (num * num) / jnp.maximum((a * a + b * b)[:, None], 1e-18)
+        ep = dsq < 3.84 * sf2[oct2][None, :]
+
+        dist = matching.hamming_matrix(desc1, desc2)
+        mask = valid1[:, None] & valid2[None, :] & ep
+        idx, best, ok = matching.masked_match(dist, mask, max_dist, ratio)
+        ok = matching.resolve_duplicates(idx, best, ok, desc2.shape[0])
+
+        r2m = rays2[idx]
+        xw = triangulation.triangulate_dlt(R1, t1, rays1, R2, t2, r2m)
+        sig_n2_1 = sigma_n * sigma_n * sf2[oct1]
+        sig_n2_2 = sigma_n * sigma_n * sf2[oct2[idx]]
+        tri_ok, depths = triangulation.check_triangulation(
+            xw, R1, t1, rays1, R2, t2, r2m, sig_n2_1, sig_n2_2,
+            min_parallax_cos=0.9998, chi2_th=5.991)
+        return idx, ok & tri_ok, xw, depths
+
+    return fn

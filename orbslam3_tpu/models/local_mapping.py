@@ -1,0 +1,343 @@
+"""Local mapping: keyframe processing, triangulation, local BA, culling.
+
+Rebuilds the reference ``LocalMapping`` thread (reference src/LocalMapping.cc:77-339
+Run() loop: ProcessNewKeyFrame → MapPointCulling → CreateNewMapPoints →
+SearchInNeighbors → LocalBundleAdjustment → KeyFrameCulling) as a host driver
+over batched kernels. In this framework the mapper can run synchronously
+(called per new keyframe) or asynchronously (see system.py); the algorithms are
+identical — the reference's queue/mutex machinery (src/LocalMapping.cc:342-346)
+is unnecessary because map mutation happens in one host thread and device
+kernels consume immutable snapshots.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import ba as ba_ops
+from . import kernels
+from .map import MapState
+
+
+class LocalMapper:
+    def __init__(self, map_state: MapState, K: np.ndarray, orb_cfg,
+                 wh=(752, 480), ba_window: int = 16, ba_max_fixed: int = 8,
+                 ba_point_cap: int = 4096, ba_obs_cap: int = 16384):
+        self.map = map_state
+        self.K = np.asarray(K, np.float32)
+        self.wh = np.asarray(wh, np.float32)
+        self.orb_cfg = orb_cfg
+        self.ba_window = ba_window
+        self.ba_max_fixed = ba_max_fixed
+        self.ba_point_cap = ba_point_cap
+        self.ba_obs_cap = ba_obs_cap
+        self.tri_match = kernels.triangulation_matcher(0, orb_cfg.n_levels, orb_cfg.scale)
+        self._ba_jit = None
+        self.recent_mp: list[tuple[int, np.ndarray]] = []  # (created_at_kf, ids)
+        self.stats = {"triangulated": 0, "culled_mp": 0, "ba_runs": 0}
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf_id: int, initial: bool = False):
+        m = self.map
+        m.refresh_map_points(np.unique(m.kf_feat_mp[kf_id][m.kf_feat_mp[kf_id] >= 0]))
+        if initial:
+            # initial map: global BA over the 2 bootstrap KFs (reference
+            # CreateInitialMapMonocular runs GlobalBundleAdjustemnt(20))
+            self.local_ba(kf_id, iters=(10, 20))
+            self._renormalize_initial_scale(kf_id)
+            return
+        self.cull_map_points(kf_id)
+        self.create_new_map_points(kf_id)
+        self.search_in_neighbors(kf_id)
+        self.local_ba(kf_id)
+
+    def _renormalize_initial_scale(self, kf_id: int):
+        """After init BA, re-fix median depth to 1 (the BA may drift the gauge
+        scale since only pose 0 is fixed)."""
+        m = self.map
+        mps = m.valid_mp_ids()
+        if len(mps) == 0:
+            return
+        depths = (m.mp_xyz[mps] @ m.kf_R[0].T + m.kf_t[0])[:, 2]
+        med = np.median(depths)
+        if med <= 1e-6:
+            return
+        m.mp_xyz[mps] /= med
+        for k in range(m.n_kf):
+            m.kf_t[k] /= med
+
+    # ------------------------------------------------------------------
+    def cull_map_points(self, kf_id: int):
+        """Reference MapPointCulling (src/LocalMapping.cc:430-471): cull recent
+        points with found/visible < 0.25 or too few observations 2 KFs after
+        creation; release from probation after 3 KFs."""
+        m = self.map
+        survivors = []
+        to_cull = []
+        for created_kf, ids in self.recent_mp:
+            ids = ids[m.mp_valid[ids]]
+            if len(ids) == 0:
+                continue
+            age = kf_id - created_kf
+            ratio = m.mp_found[ids] / np.maximum(m.mp_visible[ids], 1)
+            bad = ratio < 0.25
+            if age >= 2:
+                bad |= m.obs_count(ids) <= 2
+            to_cull.append(ids[bad])
+            keep = ids[~bad]
+            if age < 3 and len(keep):
+                survivors.append((created_kf, keep))
+        self.recent_mp = survivors
+        if to_cull:
+            allc = np.concatenate(to_cull)
+            m.remove_map_points(allc)
+            self.stats["culled_mp"] += len(allc)
+
+    # ------------------------------------------------------------------
+    def create_new_map_points(self, kf_id: int, n_neighbors: int = 10):
+        """Reference CreateNewMapPoints (src/LocalMapping.cc:487): epipolar
+        search + triangulation against best covisible KFs."""
+        m = self.map
+        neighbors = m.best_covisible(kf_id, n_neighbors, min_weight=15)
+        if len(neighbors) == 0 and m.n_kf >= 2:
+            neighbors = np.array([kf_id - 1], np.int32)
+        R1, t1 = m.kf_R[kf_id], m.kf_t[kf_id]
+        c1 = -R1.T @ t1
+        new_ids_all = []
+        for k2 in neighbors:
+            k2 = int(k2)
+            R2, t2 = m.kf_R[k2], m.kf_t[k2]
+            c2 = -R2.T @ t2
+            baseline = np.linalg.norm(c1 - c2)
+            # baseline/median-depth check (reference :520-540 area)
+            mps2 = m.kf_feat_mp[k2]
+            mps2 = mps2[mps2 >= 0]
+            if len(mps2):
+                depths = (m.mp_xyz[mps2] @ R2.T + t2)[:, 2]
+                med = np.median(depths[depths > 0]) if (depths > 0).any() else 1.0
+                if baseline / max(med, 1e-9) < 0.01:
+                    continue
+            elif baseline < 1e-6:
+                continue
+            un1 = m.kf_feat_valid[kf_id] & (m.kf_feat_mp[kf_id] < 0)
+            un2 = m.kf_feat_valid[k2] & (m.kf_feat_mp[k2] < 0)
+            if un1.sum() < 10 or un2.sum() < 10:
+                continue
+            idx, ok, xw, depths = self.tri_match(
+                jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2), jnp.asarray(t2),
+                jnp.asarray(self.K),
+                jnp.asarray(m.kf_feat_xy[kf_id]), jnp.asarray(m.kf_feat_desc[kf_id]),
+                jnp.asarray(un1), jnp.asarray(m.kf_feat_octave[kf_id]),
+                jnp.asarray(m.kf_feat_xy[k2]), jnp.asarray(m.kf_feat_desc[k2]),
+                jnp.asarray(un2), jnp.asarray(m.kf_feat_octave[k2]),
+                # no best/second ratio (reference SearchForTriangulation gates only
+                # on TH_LOW + epipolar + rotation, src/ORBmatcher.cc:1107): the
+                # same landmark at adjacent octaves makes second-best ≈ best
+                jnp.asarray(1.0, jnp.float32), jnp.asarray(50, jnp.int32),
+                jnp.asarray(1.0 / float(self.K[0]), jnp.float32))
+            okn = np.asarray(ok)
+            idxn = np.asarray(idx)
+            f1 = np.nonzero(okn)[0]
+            if len(f1) == 0:
+                continue
+            f2 = idxn[f1]
+            xw_np = np.asarray(xw)[f1]
+            # create points
+            dirs = xw_np - c1
+            dist = np.linalg.norm(dirs, axis=1)
+            normals = dirs / np.maximum(dist[:, None], 1e-9)
+            sf = m.scale_factors
+            lvl = m.kf_feat_octave[kf_id, f1]
+            maxd = dist * sf[lvl]
+            mind = maxd / sf[-1]
+            ids = m.add_map_points(xw_np, m.kf_feat_desc[kf_id, f1], kf_id,
+                                   normals, mind, maxd, first_kf=kf_id)
+            m.kf_feat_mp[kf_id, f1] = ids
+            m.kf_feat_mp[k2, f2] = ids
+            # seed counters so culling's found-ratio starts neutral
+            m.mp_visible[ids] = 1
+            m.mp_found[ids] = 1
+            new_ids_all.append(ids)
+        if new_ids_all:
+            allnew = np.concatenate(new_ids_all)
+            self.recent_mp.append((kf_id, allnew))
+            self.stats["triangulated"] += len(allnew)
+
+    # ------------------------------------------------------------------
+    def search_in_neighbors(self, kf_id: int, n_neighbors: int = 10, cap: int = 4096):
+        """Fuse duplicated landmarks & add missing observations (reference
+        SearchInNeighbors src/LocalMapping.cc:925 + ORBmatcher::Fuse :1823):
+        project the new KF's points into its covisible neighbors (and the
+        union of neighbor points into the new KF); a projected point matching
+        an existing feature either merges with that feature's point (keep the
+        more-observed one) or claims the free feature as a new observation."""
+        m = self.map
+        if not hasattr(self, "_fuse_match"):
+            self._fuse_match = kernels.projection_matcher(
+                0, self.orb_cfg.n_levels, self.orb_cfg.scale)
+        neighbors = [int(k) for k in m.best_covisible(kf_id, n_neighbors, min_weight=15)]
+        if not neighbors:
+            return
+        kf_mps = m.kf_feat_mp[kf_id]
+        kf_mps = np.unique(kf_mps[kf_mps >= 0])
+        # direction 1: this KF's points into each neighbor
+        for t in neighbors:
+            self._fuse_into(kf_mps, t, cap)
+        # direction 2: neighbor points into this KF
+        neigh_mps = m.local_map_points(np.asarray(neighbors, np.int32))
+        self._fuse_into(neigh_mps, kf_id, cap)
+        m.refresh_map_points(kf_mps)
+
+    def _fuse_into(self, mp_ids: np.ndarray, target_kf: int, cap: int):
+        import jax.numpy as jnp
+        m = self.map
+        mp_ids = mp_ids[m.mp_valid[mp_ids]][:cap]
+        if len(mp_ids) == 0:
+            return
+        n = len(mp_ids)
+        pad = cap - n
+        def pk(a, fill=0.0):
+            out = a[mp_ids]
+            if pad:
+                out = np.concatenate([out, np.full((pad,) + out.shape[1:], fill, out.dtype)])
+            return out
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        idx, ok, uv, lvl, frustum = self._fuse_match(
+            jnp.asarray(pk(m.mp_xyz)), jnp.asarray(pk(m.mp_desc)),
+            jnp.asarray(pk(m.mp_normal)), jnp.asarray(pk(m.mp_min_dist)),
+            jnp.asarray(pk(m.mp_max_dist, 1.0)), jnp.asarray(valid),
+            jnp.asarray(m.kf_R[target_kf]), jnp.asarray(m.kf_t[target_kf]),
+            jnp.asarray(self.K), jnp.asarray(m.kf_feat_xy[target_kf]),
+            jnp.asarray(m.kf_feat_desc[target_kf]),
+            jnp.asarray(m.kf_feat_octave[target_kf]),
+            jnp.asarray(m.kf_feat_valid[target_kf]), jnp.asarray(self.wh),
+            jnp.asarray(3.0, jnp.float32),   # fuse radius 3*scale (reference Fuse th=3)
+            jnp.asarray(1.0, jnp.float32),   # no ratio test in Fuse
+            jnp.asarray(50, jnp.int32),      # TH_LOW
+            jnp.asarray(0.5, jnp.float32))
+        okn = np.asarray(ok)[:n]
+        idxn = np.asarray(idx)[:n]
+        src = np.nonzero(okn)[0]
+        if len(src) == 0:
+            return
+        mp_src = mp_ids[src]
+        feat_tgt = idxn[src]
+        cur = m.kf_feat_mp[target_kf, feat_tgt]
+        obs_cnt = m.obs_count()
+        for mp, ft, existing in zip(mp_src, feat_tgt, cur):
+            if existing == mp:
+                continue
+            if existing < 0:
+                m.kf_feat_mp[target_kf, ft] = mp
+            else:
+                if not m.mp_valid[existing]:
+                    m.kf_feat_mp[target_kf, ft] = mp
+                    continue
+                # merge: keep the more-observed point (reference MapPoint::Replace)
+                if obs_cnt[mp] >= obs_cnt[existing]:
+                    m.replace_map_points(np.asarray([existing]), np.asarray([mp]))
+                else:
+                    m.replace_map_points(np.asarray([mp]), np.asarray([existing]))
+
+    # ------------------------------------------------------------------
+    def local_ba(self, kf_id: int, iters: tuple[int, int] = (5, 10)):
+        """Reference LocalBundleAdjustment (src/Optimizer.cc:1858): window =
+        KF + covisibles; fixed = other observers (min 2); two-phase schedule."""
+        m = self.map
+        window = [kf_id] + [int(k) for k in m.best_covisible(kf_id, self.ba_window - 1, min_weight=15)]
+        window = list(dict.fromkeys(window))
+        pts = m.local_map_points(np.asarray(window, np.int32))[: self.ba_point_cap]
+        if len(pts) < 20 or len(window) < 2:
+            return
+        kf_idx, feat_idx = m.observations_of(pts)
+        obs_mp_global = m.kf_feat_mp[kf_idx, feat_idx]
+        # fixed KFs: observers outside the window (cap), else fix the oldest in window
+        outside = np.setdiff1d(np.unique(kf_idx), np.asarray(window))
+        fixed_kfs = [int(k) for k in outside[: self.ba_max_fixed]]
+        all_kfs = window + fixed_kfs
+        fixed_mask = np.zeros(len(all_kfs), bool)
+        fixed_mask[len(window):] = True
+        # the reference guarantees >= 2 fixed cameras (src/Optimizer.cc:1929-1964):
+        # with fewer, monocular BA has a free scale gauge and LM wanders along
+        # the zero-cost scale direction
+        n_need = 2 - int(fixed_mask.sum())
+        if n_need > 0:
+            order = np.argsort([m.kf_frame_id[k] for k in all_kfs])
+            for idx in order:
+                if n_need == 0:
+                    break
+                if not fixed_mask[idx]:
+                    fixed_mask[idx] = True
+                    n_need -= 1
+
+        kf_lut = np.full(m.cfg.max_keyframes, -1, np.int32)
+        kf_lut[np.asarray(all_kfs)] = np.arange(len(all_kfs))
+        mp_lut = np.full(m.cfg.max_map_points, -1, np.int32)
+        mp_lut[pts] = np.arange(len(pts))
+
+        sel = (kf_lut[kf_idx] >= 0) & (mp_lut[obs_mp_global] >= 0)
+        o_kf = kf_lut[kf_idx[sel]]
+        o_mp = mp_lut[obs_mp_global[sel]]
+        o_uv = m.kf_feat_xy[kf_idx[sel], feat_idx[sel]]
+        o_is2 = m.inv_level_sigma2[m.kf_feat_octave[kf_idx[sel], feat_idx[sel]]]
+        o_src_kf = kf_idx[sel]
+        o_src_feat = feat_idx[sel]
+
+        # pad to static buckets
+        Kb = self._bucket(len(all_kfs), [4, 8, 12, 16, 24, 32])
+        Pb = self._bucket(len(pts), [256, 512, 1024, 2048, 4096])
+        Ob = self._bucket(len(o_kf), [1024, 2048, 4096, 8192, 16384, 32768])
+        if Kb is None or Pb is None or Ob is None:
+            return
+
+        def pad(a, n, fill=0):
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        eye_pad = np.zeros((Kb, 3, 3), np.float32)
+        eye_pad[:] = np.eye(3)
+        eye_pad[: len(all_kfs)] = m.kf_R[all_kfs]
+        prob = ba_ops.BAProblem(
+            R=jnp.asarray(eye_pad),
+            t=jnp.asarray(pad(m.kf_t[all_kfs], Kb)),
+            pts=jnp.asarray(pad(m.mp_xyz[pts], Pb)),
+            obs_kf=jnp.asarray(pad(o_kf.astype(np.int32), Ob)),
+            obs_mp=jnp.asarray(pad(o_mp.astype(np.int32), Ob)),
+            obs_uv=jnp.asarray(pad(o_uv.astype(np.float32), Ob)),
+            obs_inv_sigma2=jnp.asarray(pad(o_is2.astype(np.float32), Ob, 1.0)),
+            obs_valid=jnp.asarray(pad(np.ones(len(o_kf), bool), Ob, False)),
+            fixed_pose=jnp.asarray(pad(fixed_mask, Kb, True)),
+        )
+        res = self._run_ba(prob, iters)
+        # write back
+        Rn = np.asarray(res.R)[: len(all_kfs)]
+        tn = np.asarray(res.t)[: len(all_kfs)]
+        for i, k in enumerate(all_kfs):
+            if not fixed_mask[i]:
+                m.kf_R[k] = Rn[i]
+                m.kf_t[k] = tn[i]
+        m.mp_xyz[pts] = np.asarray(res.pts)[: len(pts)]
+        # erase outlier observations (reference :2270 area)
+        inl = np.asarray(res.obs_inlier)[: len(o_kf)]
+        bad = ~inl
+        if bad.any():
+            m.kf_feat_mp[o_src_kf[bad], o_src_feat[bad]] = -1
+        self.stats["ba_runs"] += 1
+
+    def _run_ba(self, prob, iters):
+        if self._ba_jit is None:
+            import functools
+            import jax
+            self._ba_jit = jax.jit(
+                functools.partial(ba_ops.local_ba, cam_type=0, chi2_th=ba_ops.CHI2_MONO),
+                static_argnames=("iters1", "iters2"))
+        return self._ba_jit(prob, jnp.asarray(self.K), iters1=iters[0], iters2=iters[1])
+
+    @staticmethod
+    def _bucket(n: int, buckets):
+        for b in buckets:
+            if n <= b:
+                return b
+        return None

@@ -1,0 +1,256 @@
+"""Map data model: fixed-capacity structure-of-arrays pools with validity masks.
+
+Replaces the reference's pointer-graph map (KeyFrame/MapPoint objects with
+mutex-guarded mutable links — reference include/KeyFrame.h, include/MapPoint.h,
+include/Map.h) with flat arrays sized at construction:
+
+- KeyFrame pool: poses, per-feature SoA (the reference's ``Frame`` feature set,
+  include/Frame.h), and the feature→map-point assignment ``kf_feat_mp`` which
+  *is* the observation store (the reference's ``mvpMapPoints`` per KeyFrame and
+  ``MapPoint::mObservations`` are the same relation stored twice; we store it
+  once and derive both views).
+- MapPoint pool: positions, distinctive descriptors, viewing normals, scale
+  ranges, found/visible counters (reference include/MapPoint.h:63-95).
+- Covisibility (reference KeyFrame::UpdateConnections src/KeyFrame.cc:471-523)
+  is not an explicitly maintained edge list: it is *derived* from
+  ``kf_feat_mp`` on demand — host numpy for small queries, or an incidence
+  matmul on the MXU for bulk queries. No mutexes: the SLAM driver mutates the
+  pools single-threaded on host; device kernels see read-only snapshots.
+
+Capacities are framework config; slots are append-only with validity masks
+(culling clears masks; slot reuse is deliberately avoided so ids stay stable).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class MapConfig:
+    max_keyframes: int = 512
+    max_map_points: int = 32768
+    n_features: int = 1088       # per-KF feature capacity (extractor total_capacity)
+    n_levels: int = 8
+    scale: float = 1.2
+
+
+class MapState:
+    """One SLAM map (the reference's ``Map``; an Atlas holds several)."""
+
+    def __init__(self, cfg: MapConfig, map_id: int = 0):
+        self.cfg = cfg
+        self.map_id = map_id
+        K, N, P = cfg.max_keyframes, cfg.n_features, cfg.max_map_points
+
+        # --- keyframe pool ---
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_R = np.zeros((K, 3, 3), np.float32)      # world→cam
+        self.kf_t = np.zeros((K, 3), np.float32)
+        self.kf_ts = np.zeros(K, np.float64)
+        self.kf_frame_id = np.zeros(K, np.int64)         # source frame index
+        self.kf_feat_xy = np.zeros((K, N, 2), np.float32)   # undistorted, level-0 px
+        self.kf_feat_angle = np.zeros((K, N), np.float32)
+        self.kf_feat_octave = np.zeros((K, N), np.int32)
+        self.kf_feat_desc = np.zeros((K, N, 8), np.uint32)
+        self.kf_feat_valid = np.zeros((K, N), bool)
+        self.kf_feat_mp = np.full((K, N), -1, np.int32)  # map-point id or -1
+        # stereo (right x-coordinate, <0 ⇒ mono observation) and depth
+        self.kf_feat_ur = np.full((K, N), -1.0, np.float32)
+        self.kf_feat_depth = np.full((K, N), -1.0, np.float32)
+        self.n_kf = 0
+
+        # --- map-point pool ---
+        self.mp_valid = np.zeros(P, bool)
+        self.mp_xyz = np.zeros((P, 3), np.float32)
+        self.mp_desc = np.zeros((P, 8), np.uint32)
+        self.mp_normal = np.zeros((P, 3), np.float32)
+        self.mp_min_dist = np.zeros(P, np.float32)
+        self.mp_max_dist = np.zeros(P, np.float32)
+        self.mp_ref_kf = np.full(P, -1, np.int32)
+        self.mp_first_kf = np.full(P, -1, np.int32)
+        self.mp_visible = np.zeros(P, np.int32)
+        self.mp_found = np.zeros(P, np.int32)
+        self.n_mp = 0
+
+        # scale pyramid constants
+        s = np.array([cfg.scale ** i for i in range(cfg.n_levels)], np.float32)
+        self.level_sigma2 = s * s
+        self.inv_level_sigma2 = 1.0 / (s * s)
+        self.scale_factors = s
+
+    # ------------------------------------------------------------------
+    # keyframes
+    # ------------------------------------------------------------------
+    def add_keyframe(self, R, t, ts, frame_id, xy, angle, octave, desc, fvalid,
+                     feat_mp=None, ur=None, depth=None) -> int:
+        k = self.n_kf
+        if k >= self.cfg.max_keyframes:
+            raise RuntimeError("keyframe pool exhausted")
+        self.kf_valid[k] = True
+        self.kf_R[k] = R
+        self.kf_t[k] = t
+        self.kf_ts[k] = ts
+        self.kf_frame_id[k] = frame_id
+        n = xy.shape[0]
+        self.kf_feat_xy[k, :n] = xy
+        self.kf_feat_angle[k, :n] = angle
+        self.kf_feat_octave[k, :n] = octave
+        self.kf_feat_desc[k, :n] = desc
+        self.kf_feat_valid[k, :n] = fvalid
+        if feat_mp is not None:
+            self.kf_feat_mp[k, :n] = feat_mp
+        if ur is not None:
+            self.kf_feat_ur[k, :n] = ur
+        if depth is not None:
+            self.kf_feat_depth[k, :n] = depth
+        self.n_kf += 1
+        return k
+
+    def remove_keyframe(self, k: int):
+        """Cull a keyframe (reference KeyFrame::SetBadFlag src/KeyFrame.cc:746):
+        detach its observations; spanning-tree bookkeeping is implicit because
+        trajectory export walks reference keyframes by validity."""
+        self.kf_valid[k] = False
+        mps = self.kf_feat_mp[k]
+        obs = mps[mps >= 0]
+        self.kf_feat_mp[k] = -1
+        # refresh descriptors/normals of affected points
+        if len(obs):
+            self.refresh_map_points(np.unique(obs))
+
+    # ------------------------------------------------------------------
+    # map points
+    # ------------------------------------------------------------------
+    def add_map_points(self, xyz, desc, ref_kf: int, normals, min_dist, max_dist,
+                       first_kf: int | None = None) -> np.ndarray:
+        m = xyz.shape[0]
+        p0 = self.n_mp
+        if p0 + m > self.cfg.max_map_points:
+            raise RuntimeError("map-point pool exhausted")
+        ids = np.arange(p0, p0 + m, dtype=np.int32)
+        self.mp_valid[ids] = True
+        self.mp_xyz[ids] = xyz
+        self.mp_desc[ids] = desc
+        self.mp_normal[ids] = normals
+        self.mp_min_dist[ids] = min_dist
+        self.mp_max_dist[ids] = max_dist
+        self.mp_ref_kf[ids] = ref_kf
+        self.mp_first_kf[ids] = ref_kf if first_kf is None else first_kf
+        self.n_mp = p0 + m
+        return ids
+
+    def remove_map_points(self, ids: np.ndarray):
+        """Cull points: invalidate + detach all observations (reference
+        MapPoint::SetBadFlag)."""
+        if len(ids) == 0:
+            return
+        self.mp_valid[ids] = False
+        sel = np.isin(self.kf_feat_mp[: self.n_kf], ids)
+        self.kf_feat_mp[: self.n_kf][sel] = -1
+
+    def replace_map_points(self, old_ids: np.ndarray, new_ids: np.ndarray):
+        """Fuse: redirect observations of old→new (reference MapPoint::Replace)."""
+        if len(old_ids) == 0:
+            return
+        lut = np.arange(self.cfg.max_map_points, dtype=np.int32)
+        lut[old_ids] = new_ids
+        self.mp_valid[old_ids] = False
+        fm = self.kf_feat_mp[: self.n_kf]
+        pos = fm >= 0
+        fm[pos] = lut[fm[pos]]
+        # a KF may now observe the same point twice; keep first occurrence
+        for k in range(self.n_kf):
+            row = self.kf_feat_mp[k]
+            seen = {}
+            dup = np.zeros(len(row), bool)
+            for i, v in enumerate(row):
+                if v >= 0:
+                    if v in seen:
+                        dup[i] = True
+                    else:
+                        seen[v] = i
+            row[dup] = -1
+
+    # ------------------------------------------------------------------
+    # derived relations
+    # ------------------------------------------------------------------
+    def observations_of(self, mp_ids: np.ndarray):
+        """(kf_idx, feat_idx) arrays of observations of the given points."""
+        fm = self.kf_feat_mp[: self.n_kf]
+        sel = np.isin(fm, mp_ids) & (fm >= 0) & self.kf_valid[: self.n_kf, None]
+        kf_idx, feat_idx = np.nonzero(sel)
+        return kf_idx.astype(np.int32), feat_idx.astype(np.int32)
+
+    def obs_count(self, mp_ids: np.ndarray | None = None) -> np.ndarray:
+        """Number of (valid-KF) observations per map point."""
+        fm = self.kf_feat_mp[: self.n_kf][self.kf_valid[: self.n_kf]]
+        cnt = np.bincount(fm[fm >= 0], minlength=self.cfg.max_map_points)
+        return cnt if mp_ids is None else cnt[mp_ids]
+
+    def covisibility_row(self, kf_id: int) -> np.ndarray:
+        """Shared-map-point counts between kf_id and every other KF (the
+        reference's covisibility weights, threshold 15 at src/KeyFrame.cc:524)."""
+        mps = self.kf_feat_mp[kf_id]
+        mps = mps[mps >= 0]
+        if len(mps) == 0:
+            return np.zeros(self.n_kf, np.int32)
+        fm = self.kf_feat_mp[: self.n_kf]
+        shared = np.isin(fm, mps).sum(axis=1).astype(np.int32)
+        shared[kf_id] = 0
+        shared[~self.kf_valid[: self.n_kf]] = 0
+        return shared
+
+    def best_covisible(self, kf_id: int, n: int, min_weight: int = 15) -> np.ndarray:
+        w = self.covisibility_row(kf_id)
+        order = np.argsort(-w)
+        order = order[w[order] >= min_weight]
+        return order[:n].astype(np.int32)
+
+    def local_map_points(self, kf_ids: np.ndarray) -> np.ndarray:
+        """Union of map points observed by the given KFs."""
+        fm = self.kf_feat_mp[kf_ids]
+        mps = np.unique(fm[fm >= 0])
+        return mps[self.mp_valid[mps]].astype(np.int32)
+
+    def refresh_map_points(self, mp_ids: np.ndarray):
+        """Recompute distinctive descriptor, normal and scale-invariance range
+        (reference MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth)."""
+        kf_idx, feat_idx = self.observations_of(mp_ids)
+        if len(kf_idx) == 0:
+            self.mp_valid[mp_ids[self.obs_count(mp_ids) == 0]] = False
+            return
+        mp_of_obs = self.kf_feat_mp[kf_idx, feat_idx]
+        for mp in mp_ids:
+            sel = mp_of_obs == mp
+            if not sel.any():
+                self.mp_valid[mp] = False
+                continue
+            ks = kf_idx[sel]
+            fs = feat_idx[sel]
+            descs = self.kf_feat_desc[ks, fs]
+            # min-median Hamming distance descriptor
+            x = descs[:, None, :] ^ descs[None, :, :]
+            d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)  # (k,k) Hamming
+            best = np.argmin(np.median(d, axis=1))
+            self.mp_desc[mp] = descs[best]
+            # normal = mean of viewing directions; scale range from ref obs
+            centers = -np.einsum("kij,ki->kj", self.kf_R[ks].transpose(0, 2, 1), self.kf_t[ks])
+            dirs = self.mp_xyz[mp] - centers
+            nrm = np.linalg.norm(dirs, axis=1, keepdims=True)
+            dirs = dirs / np.maximum(nrm, 1e-9)
+            self.mp_normal[mp] = dirs.mean(0) / max(np.linalg.norm(dirs.mean(0)), 1e-9)
+            ref = len(ks) - 1
+            dist = float(nrm[ref, 0])
+            lvl = int(self.kf_feat_octave[ks[ref], fs[ref]])
+            sf = float(self.scale_factors[lvl])
+            self.mp_max_dist[mp] = dist * sf
+            self.mp_min_dist[mp] = dist * sf / float(self.scale_factors[-1])
+
+    # convenience
+    def valid_kf_ids(self) -> np.ndarray:
+        return np.nonzero(self.kf_valid[: self.n_kf])[0].astype(np.int32)
+
+    def valid_mp_ids(self) -> np.ndarray:
+        return np.nonzero(self.mp_valid[: self.n_mp])[0].astype(np.int32)

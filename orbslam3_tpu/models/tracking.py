@@ -1,0 +1,512 @@
+"""Tracking front end: the per-frame state machine.
+
+Rebuilds the reference ``Tracking`` (reference src/Tracking.cc:1794-2479
+``Track()`` with states NOT_INITIALIZED / OK / RECENTLY_LOST / LOST,
+include/Tracking.h:107-115) as a host-side driver over jitted kernels:
+
+- Monocular initialization (reference MonocularInitialization :2621 →
+  two-view H/F RANSAC → CreateInitialMapMonocular :2744 with GBA(20) and
+  median-depth scale normalization).
+- TrackWithMotionModel (:3173): constant-velocity prediction + projection
+  matching (radius 15 px mono, x2 retry) + pose-only LM.
+- TrackReferenceKeyFrame (:2994): descriptor matching to the reference KF
+  (ratio 0.7) + pose-only LM.
+- TrackLocalMap (:3296): covisibility-expanded local map, fused frustum +
+  projection matching, pose-only LM, inlier gates.
+- Keyframe policy (NeedNewKeyFrame :3468, simplified to the dominant c1a/c2
+  conditions) and trajectory bookkeeping relative to reference keyframes
+  (include/Tracking.h:138-141) so export benefits from later BA corrections.
+
+Device work is batched and fixed-shape; the state machine itself is plain
+Python (the reference's data-dependent control flow stays on host by design).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import features as feat_ops
+from ..ops import lie
+from . import kernels
+from .frame import Frame, build_frame
+from .map import MapConfig, MapState
+
+
+class TrackState(Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    RECENTLY_LOST = 2
+    LOST = 3
+
+
+@dataclass
+class TrackingParams:
+    # matching radii / ratios (reference values, SURVEY A.2; motion radius
+    # tightened from the reference's 15 — with all-pairs matching the larger
+    # window admits sibling-corner mismatches that cost accuracy)
+    motion_radius: float = 8.0
+    local_radius: float = 3.0
+    motion_ratio: float = 0.9
+    refkf_ratio: float = 0.7
+    local_ratio: float = 0.8
+    th_high: int = 100
+    th_low: int = 50
+    # gates
+    min_motion_matches: int = 20
+    min_motion_inliers: int = 10
+    min_local_inliers: int = 30
+    min_init_matches: int = 100
+    # keyframe policy (mono drifts with sparse keyframes; 5 ≈ the effective
+    # insertion rate the reference reaches through its c1b/c2 conditions)
+    max_frames_between_kf: int = 5
+    min_frames_between_kf: int = 0
+    ref_ratio: float = 0.9              # mono (reference :3551-3569)
+    # local map sizes
+    max_local_kfs: int = 20
+    max_local_mps: int = 4096
+
+
+class Tracker:
+    def __init__(self, K: np.ndarray, D: np.ndarray | None, wh: tuple[int, int],
+                 orb_cfg: feat_ops.OrbConfig, map_state: MapState,
+                 params: TrackingParams | None = None, seed: int = 0):
+        self.K = np.asarray(K, np.float32)
+        self.D = None if D is None else np.asarray(D, np.float32)
+        self.wh = np.asarray(wh, np.float32)
+        self.orb_cfg = orb_cfg
+        self.map = map_state
+        self.p = params or TrackingParams()
+        self.rng = np.random.default_rng(seed)
+
+        self.state = TrackState.NOT_INITIALIZED
+        self.extract = feat_ops.make_extractor(int(wh[1]), int(wh[0]), orb_cfg)
+        self.match_init = kernels.init_matcher()
+        self.two_view = kernels.two_view_kernel(sigma_n=1.0 / float(self.K[0]))
+        self.pose_opt = kernels.pose_opt_kernel(cam_type=0)
+        self.proj_match = kernels.projection_matcher(0, orb_cfg.n_levels, orb_cfg.scale)
+
+        self.init_frame: Frame | None = None
+        self.last_frame: Frame | None = None
+        self.velocity: tuple[np.ndarray, np.ndarray] | None = None  # T_cl
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.frames_since_reloc = 0
+        self.n_frames = 0
+        # per-frame trajectory log: (ts, ref_kf, R_cr, t_cr, lost)
+        self.trajectory: list = []
+        # callback the system wires to local mapping
+        self.on_new_keyframe = None
+
+        sf2 = self.map.level_sigma2
+        self.inv_sigma2 = self.map.inv_level_sigma2
+
+    # ------------------------------------------------------------------
+    def process_frame(self, img: np.ndarray, ts: float) -> dict:
+        fid = self.n_frames
+        self.n_frames += 1
+        feats = self.extract(jnp.asarray(img))
+        frame = build_frame(fid, ts, feats, self.K, self.D)
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            ok = self._monocular_init(frame)
+            info = {"state": self.state.name, "init": ok}
+        else:
+            ok = self._track(frame)
+            info = {"state": self.state.name,
+                    "inliers": frame.n_matched() if ok else 0}
+
+        self._log_trajectory(frame, tracked=ok)
+        self.last_frame = frame
+        return info
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def _monocular_init(self, frame: Frame) -> bool:
+        p = self.p
+        if frame.n_valid < p.min_init_matches:
+            self.init_frame = None
+            return False
+        if self.init_frame is None:
+            self.init_frame = frame
+            return False
+
+        f0, f1 = self.init_frame, frame
+        idx, best, ok = self.match_init(
+            jnp.asarray(f0.desc), jnp.asarray(f0.valid), jnp.asarray(f0.xy),
+            jnp.asarray(f0.angle), jnp.asarray(f1.desc), jnp.asarray(f1.valid),
+            jnp.asarray(f1.xy), jnp.asarray(f1.angle))
+        okn = np.asarray(ok)
+        idxn = np.asarray(idx)
+        if okn.sum() < p.min_init_matches:
+            self.init_frame = frame   # slide the reference forward
+            return False
+
+        # normalized coords of matches
+        fx, fy, cx, cy = self.K[:4]
+        x1 = (f0.xy - [cx, cy]) / [fx, fy]
+        x2 = (f1.xy[idxn] - [cx, cy]) / [fx, fy]
+        rand_sets = self._rand_sets(np.nonzero(okn)[0], iters=200, k=8)
+        res = self.two_view(
+            jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32),
+            jnp.asarray(okn), jnp.asarray(rand_sets))
+        if not bool(res.success):
+            return False
+
+        good = np.asarray(res.good) & okn
+        if good.sum() < p.min_init_matches // 2:
+            return False
+        R21 = np.asarray(res.R)
+        t21 = np.asarray(res.t)
+        pts = np.asarray(res.pts)
+
+        # scale so median depth (in cam1) = 1 (reference CreateInitialMapMonocular)
+        med = float(np.median(pts[good, 2]))
+        if med <= 0:
+            return False
+        pts = pts / med
+        t21 = t21 / med
+
+        self._create_initial_map(f0, f1, R21, t21, pts, good, idxn)
+        return True
+
+    def _create_initial_map(self, f0, f1, R21, t21, pts, good, idxn):
+        m = self.map
+        gi = np.nonzero(good)[0]
+        f0_assign = np.full(len(f0.valid), -1, np.int32)
+        f1_assign = np.full(len(f1.valid), -1, np.int32)
+
+        k0 = m.add_keyframe(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                            f0.ts, f0.frame_id, f0.xy, f0.angle, f0.octave,
+                            f0.desc, f0.valid)
+        k1 = m.add_keyframe(R21.astype(np.float32), t21.astype(np.float32),
+                            f1.ts, f1.frame_id, f1.xy, f1.angle, f1.octave,
+                            f1.desc, f1.valid)
+        # map points (world = cam0 frame)
+        xyz = pts[gi]
+        desc = f0.desc[gi]
+        normals = xyz / np.maximum(np.linalg.norm(xyz, axis=1, keepdims=True), 1e-9)
+        dist = np.linalg.norm(xyz, axis=1)
+        sf = m.scale_factors
+        lvl = f0.octave[gi]
+        maxd = dist * sf[lvl]
+        mind = maxd / sf[-1]
+        ids = m.add_map_points(xyz, desc, k1, normals, mind, maxd, first_kf=k0)
+        f0_assign[gi] = ids
+        f1_assign[idxn[gi]] = ids
+        m.kf_feat_mp[k0] = f0_assign
+        m.kf_feat_mp[k1] = f1_assign
+
+        # initial global BA (reference: 20 iterations, first KF fixed)
+        if self.on_new_keyframe is not None:
+            self.on_new_keyframe(k1, initial=True)
+
+        f1.R = m.kf_R[k1].copy()
+        f1.t = m.kf_t[k1].copy()
+        f1.feat_mp = m.kf_feat_mp[k1].copy()
+        self.ref_kf = k1
+        self.last_kf_frame_id = f1.frame_id
+        self.velocity = None
+        self.state = TrackState.OK
+
+    def _rand_sets(self, valid_idx: np.ndarray, iters: int, k: int) -> np.ndarray:
+        if len(valid_idx) < k:
+            return np.zeros((iters, k), np.int32)
+        return self.rng.choice(valid_idx, size=(iters, k), replace=True).astype(np.int32)
+
+    # ------------------------------------------------------------------
+    # tracking
+    # ------------------------------------------------------------------
+    def _track(self, frame: Frame) -> bool:
+        ok = False
+        if self.state == TrackState.OK:
+            if self.velocity is not None and self.last_frame is not None:
+                ok = self._track_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_kf(frame)
+        else:
+            # lost: relocalize against recent keyframes (reference Relocalization
+            # src/Tracking.cc:4153; candidate source here is recency until the
+            # keyframe database lands)
+            ok = self._relocalize(frame)
+
+        if ok:
+            ok = self._track_local_map(frame)
+
+        if ok:
+            self.state = TrackState.OK
+            frame.tracked = True
+            # motion model T_cl = T_cw ∘ inv(T_lw) — only from a trustworthy
+            # last pose (after a loss gap the reference clears mVelocity too)
+            if (self.last_frame is not None and self.last_frame.tracked
+                    and self.last_frame.R is not None):
+                Rl, tl = self.last_frame.R, self.last_frame.t
+                Rli, tli = Rl.T, -Rl.T @ tl
+                Rv = frame.R @ Rli
+                tv = frame.R @ tli + frame.t
+                self.velocity = (Rv, tv)
+            else:
+                self.velocity = None
+            if self._need_new_keyframe(frame):
+                self._create_new_keyframe(frame)
+        else:
+            self.velocity = None
+            if self.map.n_kf > 10:
+                self.state = TrackState.RECENTLY_LOST
+            else:
+                self.state = TrackState.LOST
+        return ok
+
+    def _predict_pose(self, frame: Frame):
+        Rv, tv = self.velocity
+        Rl, tl = self.last_frame.R, self.last_frame.t
+        frame.R = (Rv @ Rl).astype(np.float32)
+        frame.t = (Rv @ tl + tv).astype(np.float32)
+
+    def _gather_mps(self, mp_ids: np.ndarray, cap: int):
+        """Pad/crop map-point SoA to a fixed-size device buffer."""
+        m = self.map
+        mp_ids = mp_ids[:cap]
+        n = len(mp_ids)
+        pad = cap - n
+        def pk(a, fill=0.0):
+            out = a[mp_ids]
+            if pad:
+                out = np.concatenate([out, np.full((pad,) + out.shape[1:], fill, out.dtype)])
+            return out
+        xyz = pk(m.mp_xyz)
+        desc = pk(m.mp_desc)
+        normal = pk(m.mp_normal)
+        mind = pk(m.mp_min_dist)
+        maxd = pk(m.mp_max_dist, 1.0)
+        valid = np.zeros(cap, bool)
+        valid[:n] = m.mp_valid[mp_ids]
+        return mp_ids, xyz, desc, normal, mind, maxd, valid
+
+    def _project_and_assign(self, frame: Frame, mp_ids: np.ndarray, cap: int,
+                            radius: float, ratio: float, max_dist: int,
+                            view_cos: float = 0.5, count_visible: bool = False) -> int:
+        """Run the fused frustum+projection matcher and write assignments."""
+        ids, xyz, desc, normal, mind, maxd, valid = self._gather_mps(mp_ids, cap)
+        idx, ok, uv, lvl, frustum_ok = self.proj_match(
+            jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(normal),
+            jnp.asarray(mind), jnp.asarray(maxd), jnp.asarray(valid),
+            jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(self.K),
+            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+            jnp.asarray(self.wh), jnp.asarray(radius, jnp.float32),
+            jnp.asarray(ratio, jnp.float32), jnp.asarray(max_dist, jnp.int32),
+            jnp.asarray(view_cos, jnp.float32))
+        okn = np.asarray(ok)
+        idxn = np.asarray(idx)
+        sel = np.nonzero(okn)[0]
+        sel = sel[sel < len(ids)]
+        # don't overwrite existing assignments
+        free = frame.feat_mp[idxn[sel]] < 0
+        sel = sel[free]
+        frame.feat_mp[idxn[sel]] = ids[sel]
+        if count_visible:
+            # reference MapPoint::IncreaseVisible fires only when isInFrustum
+            vis = np.asarray(frustum_ok)[: len(ids)]
+            self.map.mp_visible[ids[vis]] += 1
+        return len(sel)
+
+    def _optimize_frame_pose(self, frame: Frame) -> int:
+        matched = frame.feat_mp >= 0
+        mp = frame.feat_mp.copy()
+        pts = np.zeros((len(mp), 3), np.float32)
+        pts[matched] = self.map.mp_xyz[mp[matched]]
+        inv_s2 = self.inv_sigma2[frame.octave]
+        res = self.pose_opt(
+            jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pts),
+            jnp.asarray(frame.xy), jnp.asarray(inv_s2, jnp.float32),
+            jnp.asarray(matched & frame.valid), jnp.asarray(self.K))
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        inl = np.asarray(res.inlier)
+        # clear outlier assignments (reference discards them after PoseOptimization)
+        frame.feat_mp[matched & ~inl] = -1
+        return int(inl.sum())
+
+    def _track_motion_model(self, frame: Frame) -> bool:
+        p = self.p
+        self._predict_pose(frame)
+        last_mps = self.last_frame.feat_mp
+        mp_ids = np.unique(last_mps[last_mps >= 0])
+        mp_ids = mp_ids[self.map.mp_valid[mp_ids]]
+        if len(mp_ids) == 0:
+            return False
+        cap = self.orb_cfg.total_capacity
+        n = self._project_and_assign(frame, mp_ids, cap, p.motion_radius,
+                                     p.motion_ratio, p.th_high)
+        if n < p.min_motion_matches:
+            frame.feat_mp[:] = -1
+            n = self._project_and_assign(frame, mp_ids, cap, 2 * p.motion_radius,
+                                         p.motion_ratio, p.th_high)
+        if n < p.min_motion_matches:
+            return False
+        inl = self._optimize_frame_pose(frame)
+        return inl >= p.min_motion_inliers
+
+    def _track_reference_kf(self, frame: Frame) -> bool:
+        from ..ops import matching as match_ops
+        p = self.p
+        if self.ref_kf < 0:
+            return False
+        m = self.map
+        k = self.ref_kf
+        idx, best, ok = kernels.init_matcher()(
+            jnp.asarray(m.kf_feat_desc[k]), jnp.asarray(m.kf_feat_valid[k] & (m.kf_feat_mp[k] >= 0)),
+            jnp.asarray(m.kf_feat_xy[k]), jnp.asarray(m.kf_feat_angle[k]),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(frame.xy), jnp.asarray(frame.angle))
+        okn = np.asarray(ok)
+        idxn = np.asarray(idx)
+        if okn.sum() < 15:
+            return False
+        frame.feat_mp[:] = -1
+        src = np.nonzero(okn)[0]
+        frame.feat_mp[idxn[src]] = m.kf_feat_mp[k][src]
+        # initial pose = last frame's
+        frame.R = self.last_frame.R.copy() if self.last_frame.R is not None else m.kf_R[k].copy()
+        frame.t = self.last_frame.t.copy() if self.last_frame.t is not None else m.kf_t[k].copy()
+        inl = self._optimize_frame_pose(frame)
+        return inl >= p.min_motion_inliers
+
+    def _relocalize(self, frame: Frame, n_candidates: int = 8) -> bool:
+        """Try recent KFs as relocalization anchors: descriptor-match the KF's
+        map-point features to the frame (ratio 0.75 like the reference's reloc
+        BoW stage), then pose-optimize from the KF pose; accept >= min inliers."""
+        from ..ops import matching as match_ops
+        import jax.numpy as jnp
+        m = self.map
+        cands = m.valid_kf_ids()[::-1][:n_candidates]
+        for k in cands:
+            k = int(k)
+            has_mp = m.kf_feat_valid[k] & (m.kf_feat_mp[k] >= 0)
+            if has_mp.sum() < 15:
+                continue
+            idx, best, ok = match_ops.search_by_descriptor(
+                jnp.asarray(m.kf_feat_desc[k]), jnp.asarray(has_mp),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                max_dist=match_ops.TH_LOW, ratio=0.75)
+            okn = np.asarray(ok)
+            if okn.sum() < 15:
+                continue
+            idxn = np.asarray(idx)
+            frame.feat_mp[:] = -1
+            src = np.nonzero(okn)[0]
+            frame.feat_mp[idxn[src]] = m.kf_feat_mp[k][src]
+            frame.R = m.kf_R[k].copy()
+            frame.t = m.kf_t[k].copy()
+            inl = self._optimize_frame_pose(frame)
+            if inl >= self.p.min_local_inliers:
+                self.ref_kf = k
+                self.frames_since_reloc = 0
+                return True
+        return False
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        p = self.p
+        m = self.map
+        # local KFs: those sharing points with the frame, ranked by shared count
+        mps = frame.feat_mp[frame.feat_mp >= 0]
+        if len(mps) == 0:
+            return False
+        kf_idx, feat_idx = m.observations_of(mps)
+        if len(kf_idx) == 0:
+            return False
+        counts = np.bincount(kf_idx, minlength=m.n_kf)
+        local_kfs = np.argsort(-counts)[: p.max_local_kfs]
+        local_kfs = local_kfs[counts[local_kfs] > 0]
+        best_kf = int(local_kfs[0])
+        self.ref_kf = best_kf
+
+        local_mps = m.local_map_points(local_kfs)
+        # exclude already matched
+        local_mps = local_mps[~np.isin(local_mps, mps)]
+        self._project_and_assign(frame, local_mps, p.max_local_mps,
+                                 p.local_radius, p.local_ratio, p.th_high,
+                                 count_visible=True)
+        inl = self._optimize_frame_pose(frame)
+        # found counters (reference IncreaseFound in TrackLocalMap)
+        found = frame.feat_mp[frame.feat_mp >= 0]
+        m.mp_found[found] += 1
+        m.mp_visible[found] += 1
+        self.n_local_inliers = inl
+        return inl >= p.min_local_inliers
+
+    # ------------------------------------------------------------------
+    # keyframe policy
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        p = self.p
+        m = self.map
+        if self.ref_kf < 0:
+            return False
+        # nRefMatches = ref-KF map points with >= minObs observations
+        # (reference KeyFrame::TrackedMapPoints, src/Tracking.cc:3509-3523)
+        ref_mps = m.kf_feat_mp[self.ref_kf]
+        ref_mps = ref_mps[ref_mps >= 0]
+        ref_mps = ref_mps[m.mp_valid[ref_mps]]
+        min_obs = 3 if m.n_kf > 2 else 2
+        if len(ref_mps):
+            ref_mps = ref_mps[m.obs_count(ref_mps) >= min_obs]
+        n_ref = max(len(ref_mps), 1)
+        n_tracked = frame.n_matched()
+        c1a = frame.frame_id >= self.last_kf_frame_id + p.max_frames_between_kf
+        c2 = (n_tracked < p.ref_ratio * n_ref) and n_tracked > 15
+        return c1a or c2
+
+    def _create_new_keyframe(self, frame: Frame):
+        m = self.map
+        k = m.add_keyframe(frame.R, frame.t, frame.ts, frame.frame_id,
+                           frame.xy, frame.angle, frame.octave, frame.desc,
+                           frame.valid, feat_mp=frame.feat_mp.copy(),
+                           ur=frame.ur, depth=frame.depth)
+        self.ref_kf = k
+        self.last_kf_frame_id = frame.frame_id
+        if self.on_new_keyframe is not None:
+            self.on_new_keyframe(k, initial=False)
+            # pull optimized pose back into the frame so the motion model and
+            # trajectory stay consistent with the refined map
+            frame.R = m.kf_R[k].copy()
+            frame.t = m.kf_t[k].copy()
+
+    # ------------------------------------------------------------------
+    # trajectory
+    # ------------------------------------------------------------------
+    def _log_trajectory(self, frame: Frame, tracked: bool):
+        if frame.R is None or self.ref_kf < 0:
+            self.trajectory.append((frame.ts, -1, None, None, True))
+            return
+        m = self.map
+        k = self.ref_kf
+        # T_cr = T_cw ∘ inv(T_rw)
+        Rr, tr = m.kf_R[k], m.kf_t[k]
+        Rri, tri = Rr.T, -Rr.T @ tr
+        Rcr = frame.R @ Rri
+        tcr = frame.R @ tri + frame.t
+        self.trajectory.append((frame.ts, k, Rcr, tcr, not tracked))
+
+    def export_trajectory(self):
+        """Compose logged relative poses with (possibly BA-corrected) KF poses
+        (reference System::SaveTrajectoryTUM src/System.cc:457-520).
+        Returns (ts (F,), R_wc (F,3,3), t_wc (F,3), lost (F,))."""
+        m = self.map
+        out_ts, out_R, out_t, lost = [], [], [], []
+        for ts, k, Rcr, tcr, is_lost in self.trajectory:
+            if k < 0 or Rcr is None:
+                continue
+            Rr, tr = m.kf_R[k], m.kf_t[k]
+            Rcw = Rcr @ Rr
+            tcw = Rcr @ tr + tcr
+            out_ts.append(ts)
+            out_R.append(Rcw.T)
+            out_t.append(-Rcw.T @ tcw)
+            lost.append(is_lost)
+        return (np.array(out_ts), np.array(out_R), np.array(out_t),
+                np.array(lost, bool))

@@ -1,0 +1,173 @@
+"""Landmark-sharded distributed bundle adjustment over a device mesh.
+
+The TPU-native replacement for the reference's single-machine g2o solves
+(reference src/Optimizer.cc) at pod scale, per SURVEY §2.3/§5.8's plan:
+
+- Landmarks (map points) and their observations are partitioned across the
+  ``lm`` mesh axis (the SLAM analogue of data parallelism: observations are
+  the "batch"). Each device owns a landmark shard plus every observation of
+  those landmarks, so the landmark Hessian blocks Hll and the cross blocks B
+  are fully local.
+- The reduced camera (Schur) system S = Σ_shards (Hpp_sh − B_sh Hll_sh⁻¹ B_shᵀ)
+  is formed with one ``psum`` over ICI — the only collective in the step —
+  then solved replicated (the pose system is small: 6K×6K).
+- Landmark back-substitution is embarrassingly parallel per shard.
+
+This mirrors how the reference's LocalMapping/GBA threads partition work, but
+the partition is over map structure instead of threads, and the "mutex" is the
+collective. Poses are replicated (like DP parameters); a pose-sharded (tensor-
+parallel-style) variant for very large KF sets is future work.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import camera as cam_ops
+from ..ops import lie
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "lm") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devs), (axis,))
+
+
+def _local_schur_pieces(R, t, pts_sh, obs_kf, obs_mp_local, obs_uv, obs_w,
+                        cam_params, n_kf, huber, lam, cam_type):
+    """Per-shard: residuals, Hpp/bp contributions, and local Hll/B/bl blocks.
+
+    obs_mp_local indexes into the LOCAL landmark shard.
+    """
+    Rk = R[obs_kf]
+    tk = t[obs_kf]
+    xw = pts_sh[obs_mp_local]
+    xc = jnp.einsum("oij,oj->oi", Rk, xw) + tk
+    pred = cam_ops.project(cam_type, cam_params, xc)
+    r = obs_uv - pred
+    Jproj = cam_ops.project_jac(cam_type, cam_params, xc)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape[:-1] + (3, 3))
+    Jse3 = jnp.concatenate([-lie.hat(xc), eye], axis=-1)
+    Jpose = jnp.einsum("oij,ojk->oik", Jproj, Jse3)
+    Jpt = jnp.einsum("oij,ojk->oik", Jproj, Rk)
+    chi2 = jnp.sum(r * r, axis=-1) * obs_w
+    rn = jnp.sqrt(chi2 + 1e-12)
+    w_h = jnp.where(rn <= huber, 1.0, huber / rn)
+    pos = (xc[..., 2] > 1e-3).astype(xc.dtype)
+    w = obs_w * w_h * pos
+
+    P_sh = pts_sh.shape[0]
+    K = n_kf
+    Hpp = jnp.zeros((K, 6, 6), xc.dtype).at[obs_kf].add(
+        jnp.einsum("oik,o,oil->okl", Jpose, w, Jpose))
+    bp = jnp.zeros((K, 6), xc.dtype).at[obs_kf].add(
+        jnp.einsum("oik,o,oi->ok", Jpose, w, r))
+    Hll = jnp.zeros((P_sh, 3, 3), xc.dtype).at[obs_mp_local].add(
+        jnp.einsum("oik,o,oil->okl", Jpt, w, Jpt))
+    bl = jnp.zeros((P_sh, 3), xc.dtype).at[obs_mp_local].add(
+        jnp.einsum("oik,o,oi->ok", Jpt, w, r))
+    B = jnp.zeros((P_sh, K, 6, 3), xc.dtype).at[obs_mp_local, obs_kf].add(
+        jnp.einsum("oik,o,oil->okl", Jpose, w, Jpt))
+
+    diagl = jnp.einsum("pii->pi", Hll)
+    Hll = Hll + jax.vmap(jnp.diag)(lam * diagl + 1e-6)
+    Hll_inv = jnp.linalg.inv(Hll)
+    C = jnp.einsum("pkil,plm->pkim", B, Hll_inv)
+    S_part = Hpp_to_dense(Hpp, K) - jnp.einsum("pkim,pqjm->kiqj", C, B).reshape(K * 6, K * 6)
+    bs_part = (bp - jnp.einsum("pkim,pm->ki", C, bl)).reshape(-1)
+    return S_part, bs_part, Hll_inv, B, bl
+
+
+def Hpp_to_dense(Hpp, K):
+    S = jnp.zeros((K, 6, K, 6), Hpp.dtype)
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].set(Hpp)
+    return S.reshape(K * 6, K * 6)
+
+
+def make_sharded_ba_step(mesh: Mesh, n_kf: int, cam_type: int = cam_ops.PINHOLE,
+                         huber_chi2: float = 5.991, axis: str = "lm"):
+    """Build a jitted one-GN-step function over the mesh.
+
+    Shapes (global): pts (P,3) sharded on axis 0; obs_* (O,) sharded on axis 0
+    with obs_mp_local indexing each device's local landmark shard; poses
+    replicated. Host is responsible for partitioning observations by landmark
+    shard (each observation lives with its landmark's device).
+    """
+    huber = float(huber_chi2) ** 0.5
+
+    def step(R, t, fixed_pose, pts, obs_kf, obs_mp_local, obs_uv, obs_w,
+             cam_params, lam):
+        def shard_fn(R, t, fixed_pose, pts_sh, obs_kf_sh, obs_mp_sh, obs_uv_sh,
+                     obs_w_sh, cam_params, lam):
+            S_part, bs_part, Hll_inv, B, bl = _local_schur_pieces(
+                R, t, pts_sh, obs_kf_sh, obs_mp_sh, obs_uv_sh, obs_w_sh,
+                cam_params, n_kf, huber, lam, cam_type)
+            # the one collective: reduce the pose system over ICI
+            S = jax.lax.psum(S_part, axis)
+            bs = jax.lax.psum(bs_part, axis)
+            dS = jnp.diag(S)
+            S = S + jnp.diag(lam * dS + 1e-6)
+            free = jnp.repeat(~fixed_pose, 6)
+            S = jnp.where(free[:, None] & free[None, :], S, 0.0)
+            S = S + jnp.diag(jnp.where(free, 0.0, 1.0))
+            bs = jnp.where(free, bs, 0.0)
+            dx = jnp.linalg.solve(S, bs).reshape(n_kf, 6)
+            # local landmark back-substitution
+            dl = jnp.einsum("pij,pj->pi", Hll_inv,
+                            bl - jnp.einsum("pkim,ki->pm", B, dx))
+            dR, dt = lie.se3_exp(dx)
+            Rn, tn = lie.se3_compose(dR, dt, R, t)
+            Rn = jnp.where(fixed_pose[:, None, None], R, Rn)
+            tn = jnp.where(fixed_pose[:, None], t, tn)
+            return Rn, tn, pts_sh + dl
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(), P()),
+            out_specs=(P(), P(), P(axis)),
+            check_vma=False,
+        )
+        return fn(R, t, fixed_pose, pts, obs_kf, obs_mp_local, obs_uv, obs_w,
+                  cam_params, lam)
+
+    return jax.jit(step)
+
+
+def partition_by_landmark(obs_mp, n_pts, n_shards, obs_arrays):
+    """Host-side: repartition observations so each lands on its landmark's
+    shard, padding every shard to equal size. Returns (pts_perm, obs arrays
+    concatenated shard-by-shard, local mp indices, per-shard obs validity).
+
+    obs_mp: (O,) global landmark index per observation (numpy).
+    obs_arrays: dict of (O,...) numpy arrays to repartition alongside.
+    """
+    import numpy as np
+    per = -(-n_pts // n_shards)          # landmarks per shard (ceil)
+    n_pts_pad = per * n_shards
+    shard_of_mp = obs_mp // per
+    local_mp = obs_mp % per
+    counts = np.bincount(shard_of_mp, minlength=n_shards)
+    o_per = int(-(-counts.max() // 1)) if len(counts) else 1
+    o_per = max(int(counts.max()), 1)
+    out_mp = np.zeros(o_per * n_shards, np.int32)
+    out_valid = np.zeros(o_per * n_shards, bool)
+    outs = {k: np.zeros((o_per * n_shards,) + v.shape[1:], v.dtype)
+            for k, v in obs_arrays.items()}
+    for s in range(n_shards):
+        sel = np.nonzero(shard_of_mp == s)[0]
+        base = s * o_per
+        out_mp[base: base + len(sel)] = local_mp[sel]
+        out_valid[base: base + len(sel)] = True
+        for k, v in obs_arrays.items():
+            outs[k][base: base + len(sel)] = v[sel]
+    return n_pts_pad, o_per, out_mp, out_valid, outs

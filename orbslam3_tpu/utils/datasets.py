@@ -28,7 +28,7 @@ class SyntheticScene:
     extent: float = 8.0      # lateral world extent
     depth_min: float = 4.0
     depth_max: float = 14.0
-    patch: int = 9           # sprite texture size (odd)
+    patch: int = 15          # sprite texture size (odd)
     h: int = 480
     w: int = 752
     fx: float = 458.654
@@ -46,33 +46,112 @@ class SyntheticScene:
             ],
             axis=-1,
         )
-        # high-contrast random sprite per point so FAST fires and BRIEF is distinctive
+        # high-contrast random sprite per point, radially masked so each sprite
+        # has one dominant corner region with a distinctive BRIEF signature
         self.textures = rng.uniform(60.0, 255.0, size=(self.n_points, self.patch, self.patch))
         self.textures *= rng.random(size=(self.n_points, self.patch, self.patch)) > 0.45
-        self.background = rng.uniform(20.0, 40.0, size=(self.h, self.w))
+        r = self.patch // 2
+        dyx = np.arange(-r, r + 1)
+        rad2 = dyx[:, None] ** 2 + dyx[None, :] ** 2
+        self.textures *= (rad2 <= r * r).astype(float)
+        # mild smoothing so bilinear resampling across perspective scales is
+        # stable (no aliased corner popping)
+        from scipy.ndimage import gaussian_filter as _gf
+        self.textures = np.stack([_gf(t, 0.6) for t in self.textures])
+        # Background: a textured 3D plane at z=bg_depth rendered with true
+        # parallax. A flat background makes all off-sprite BRIEF bits constant
+        # (sibling-corner descriptor confusion real imagery doesn't have), and
+        # a static screen-space texture would vote for zero camera motion; a
+        # world-anchored plane gives informative descriptors AND correct
+        # geometry. Kept smooth (corner-free) so FAST fires on sprites.
+        from scipy.ndimage import gaussian_filter
+        self.bg_depth = 25.0
+        ext = self.bg_depth * 1.1 + 5.0
+        self.bg_spacing = ext * 2 / 1023
+        noise = rng.uniform(0.0, 1.0, size=(1024, 1024))
+        smooth = gaussian_filter(noise, sigma=8.0)
+        smooth = (smooth - smooth.min()) / max(float(np.ptp(smooth)), 1e-9)
+        self.bg_tex = 15.0 + 45.0 * smooth
+        self.bg_ext = ext
 
     @property
     def K(self) -> np.ndarray:
         return np.array([self.fx, self.fy, self.cx, self.cy], dtype=np.float32)
 
+    def _render_background(self, R_cw: np.ndarray, t_cw: np.ndarray) -> np.ndarray:
+        """Ray-cast the textured background plane z=bg_depth (bilinear sampling)."""
+        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        rays_c = np.stack([(uu - self.cx) / self.fx, (vv - self.cy) / self.fy,
+                           np.ones_like(uu, float)], axis=-1)
+        R_wc = R_cw.T
+        c = -R_wc @ t_cw
+        rays_w = rays_c @ R_wc.T
+        lam = (self.bg_depth - c[2]) / np.maximum(rays_w[..., 2], 1e-6)
+        pw = c + lam[..., None] * rays_w
+        gx = (pw[..., 0] + self.bg_ext) / self.bg_spacing
+        gy = (pw[..., 1] + self.bg_ext) / self.bg_spacing
+        gx = np.clip(gx, 0, self.bg_tex.shape[1] - 1.001)
+        gy = np.clip(gy, 0, self.bg_tex.shape[0] - 1.001)
+        x0 = gx.astype(int); y0 = gy.astype(int)
+        fx_ = gx - x0; fy_ = gy - y0
+        t00 = self.bg_tex[y0, x0]
+        t01 = self.bg_tex[y0, x0 + 1]
+        t10 = self.bg_tex[y0 + 1, x0]
+        t11 = self.bg_tex[y0 + 1, x0 + 1]
+        return (t00 * (1 - fx_) * (1 - fy_) + t01 * fx_ * (1 - fy_)
+                + t10 * (1 - fx_) * fy_ + t11 * fx_ * fy_)
+
+    # world half-size of a sprite (true planar patches → perspective-correct
+    # scaling; a fixed-pixel sprite would make detected corners correspond to
+    # 3D points that slide with depth — a bias no BA can remove)
+    sprite_half_world: float = 0.22
+
     def render(self, R_cw: np.ndarray, t_cw: np.ndarray) -> np.ndarray:
-        """Render the scene from world→camera pose (R,t). Returns (H,W) float32 image."""
+        """Render the scene from world→camera pose (R,t). Returns (H,W) float32 image.
+
+        Sprites are fronto-parallel planar patches of fixed WORLD size, sampled
+        bilinearly at the true subpixel projection (no integer quantization),
+        composited far-to-near (painter's algorithm for true occlusion).
+        """
         pc = self.points @ R_cw.T + t_cw
         z = pc[:, 2]
-        vis = z > 0.1
+        vis = z > 0.5
         u = self.fx * pc[:, 0] / np.where(vis, z, 1.0) + self.cx
         v = self.fy * pc[:, 1] / np.where(vis, z, 1.0) + self.cy
-        img = self.background.copy()
-        r = self.patch // 2
-        ui = np.round(u).astype(int)
-        vi = np.round(v).astype(int)
-        inb = vis & (ui >= r) & (ui < self.w - r) & (vi >= r) & (vi < self.h - r)
-        # scale sprite brightness mildly with inverse depth for realism
-        for i in np.nonzero(inb)[0]:
-            y0, x0 = vi[i] - r, ui[i] - r
-            img[y0:y0 + self.patch, x0:x0 + self.patch] = np.maximum(
-                img[y0:y0 + self.patch, x0:x0 + self.patch], self.textures[i]
-            )
+        img = self._render_background(R_cw, t_cw)
+        r_tex = self.patch // 2
+        order = np.argsort(-z)
+        for i in order:
+            if not vis[i]:
+                continue
+            r_px = self.fx * self.sprite_half_world / z[i]
+            if r_px < 1.5:
+                continue
+            x_lo = int(np.floor(u[i] - r_px))
+            x_hi = int(np.ceil(u[i] + r_px)) + 1
+            y_lo = int(np.floor(v[i] - r_px))
+            y_hi = int(np.ceil(v[i] + r_px)) + 1
+            if x_hi <= 0 or y_hi <= 0 or x_lo >= self.w or y_lo >= self.h:
+                continue
+            x_lo2, x_hi2 = max(x_lo, 0), min(x_hi, self.w)
+            y_lo2, y_hi2 = max(y_lo, 0), min(y_hi, self.h)
+            xs = np.arange(x_lo2, x_hi2)
+            ys = np.arange(y_lo2, y_hi2)
+            # texture coords: subpixel-aligned, perspective-scaled
+            txc = (xs - u[i]) / r_px * r_tex + r_tex
+            tyc = (ys - v[i]) / r_px * r_tex + r_tex
+            TX, TY = np.meshgrid(txc, tyc)
+            inside = (TX >= 0) & (TX <= 2 * r_tex - 1.001) & (TY >= 0) & (TY <= 2 * r_tex - 1.001)
+            TXc = np.clip(TX, 0, 2 * r_tex - 1.001)
+            TYc = np.clip(TY, 0, 2 * r_tex - 1.001)
+            x0 = TXc.astype(int); y0 = TYc.astype(int)
+            fx_ = TXc - x0; fy_ = TYc - y0
+            tex = self.textures[i]
+            val = (tex[y0, x0] * (1 - fx_) * (1 - fy_) + tex[y0, x0 + 1] * fx_ * (1 - fy_)
+                   + tex[y0 + 1, x0] * (1 - fx_) * fy_ + tex[y0 + 1, x0 + 1] * fx_ * fy_)
+            on = inside & (val > 30.0)
+            region = img[y_lo2:y_hi2, x_lo2:x_hi2]
+            region[on] = val[on]
         return img.astype(np.float32)
 
     def project(self, R_cw: np.ndarray, t_cw: np.ndarray):
@@ -82,9 +161,96 @@ class SyntheticScene:
         vis = z > 0.1
         u = self.fx * pc[:, 0] / np.where(vis, z, 1.0) + self.cx
         v = self.fy * pc[:, 1] / np.where(vis, z, 1.0) + self.cy
-        r = self.patch // 2
+        r = self.fx * self.sprite_half_world / np.where(vis, z, 1.0)
         inb = vis & (u >= r) & (u < self.w - r) & (v >= r) & (v < self.h - r)
         return u, v, z, inb
+
+
+@dataclass
+class RoomScene:
+    """A textured box room rendered by ray casting — fully 3D, projectively
+    exact at every pixel, FAST corners at all scales. The fixture of choice for
+    end-to-end SLAM tests (sprite scenes keep per-landmark ground truth for
+    feature/matching tests; this one exercises realistic dense imagery).
+
+    Box interior: back wall z=depth, floor y=+half_h, ceiling y=-half_h,
+    side walls x=±half_w. Camera starts near the origin looking +z.
+    """
+
+    seed: int = 0
+    depth: float = 12.0
+    half_w: float = 8.0
+    half_h: float = 4.0
+    tex_n: int = 2048
+    h: int = 480
+    w: int = 752
+    fx: float = 458.654
+    fy: float = 457.296
+    cx: float = 376.0
+    cy: float = 240.0
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        from scipy.ndimage import gaussian_filter
+        # sharp multi-scale texture: blurred binary noise at 3 scales + low-freq shading
+        def make_tex():
+            t = np.zeros((self.tex_n, self.tex_n))
+            for sigma, amp in ((1.0, 90.0), (3.0, 60.0), (9.0, 40.0)):
+                n = gaussian_filter(rng.uniform(0, 1, (self.tex_n, self.tex_n)), sigma)
+                n = (n > np.median(n)).astype(float) * amp
+                t += n
+            t = t / t.max() * 200.0 + 30.0
+            return t
+        # one shared texture atlas per wall keeps memory modest
+        self.textures = [make_tex() for _ in range(5)]
+        # plane definitions: (point, normal, u-axis, v-axis, tex)
+        d, hw, hh = self.depth, self.half_w, self.half_h
+        self.planes = [
+            (np.array([0.0, 0.0, d]), np.array([0.0, 0.0, -1.0]),
+             np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0])),   # back wall
+            (np.array([0.0, hh, 0.0]), np.array([0.0, -1.0, 0.0]),
+             np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])),   # floor
+            (np.array([0.0, -hh, 0.0]), np.array([0.0, 1.0, 0.0]),
+             np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])),   # ceiling
+            (np.array([hw, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0]),
+             np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0])),   # right wall
+            (np.array([-hw, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]),
+             np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0])),   # left wall
+        ]
+        self.tex_scale = 48.0  # texels per world unit
+
+    @property
+    def K(self) -> np.ndarray:
+        return np.array([self.fx, self.fy, self.cx, self.cy], dtype=np.float32)
+
+    def render(self, R_cw: np.ndarray, t_cw: np.ndarray) -> np.ndarray:
+        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        rays_c = np.stack([(uu - self.cx) / self.fx, (vv - self.cy) / self.fy,
+                           np.ones_like(uu, float)], axis=-1)
+        R_wc = R_cw.T
+        c = -R_wc @ t_cw
+        rays_w = rays_c @ R_wc.T
+        best_t = np.full((self.h, self.w), np.inf)
+        img = np.full((self.h, self.w), 20.0)
+        for pi, (p0, n, ua, va) in enumerate(self.planes):
+            denom = rays_w @ n
+            tt = ((p0 - c) @ n) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            hitp = c + tt[..., None] * rays_w
+            ok = (tt > 0.2) & (tt < best_t)
+            # clip to box extents
+            ok &= (np.abs(hitp[..., 0]) <= self.half_w + 1e-6)
+            ok &= (np.abs(hitp[..., 1]) <= self.half_h + 1e-6)
+            ok &= (hitp[..., 2] >= -1.0) & (hitp[..., 2] <= self.depth + 1e-6)
+            tex = self.textures[pi]
+            gu = (hitp @ ua) * self.tex_scale % (self.tex_n - 1)
+            gv = (hitp @ va) * self.tex_scale % (self.tex_n - 1)
+            x0 = gu.astype(int); y0 = gv.astype(int)
+            fx_ = gu - x0; fy_ = gv - y0
+            val = (tex[y0, x0] * (1 - fx_) * (1 - fy_) + tex[y0, x0 + 1] * fx_ * (1 - fy_)
+                   + tex[y0 + 1, x0] * (1 - fx_) * fy_ + tex[y0 + 1, x0 + 1] * fx_ * fy_)
+            img = np.where(ok, val, img)
+            best_t = np.where(ok, tt, best_t)
+        return img.astype(np.float32)
 
 
 def orbit_trajectory(n_frames: int, radius: float = 0.8, forward: float = 0.02,

@@ -1,0 +1,75 @@
+"""End-to-end monocular SLAM on synthetic sequences with ground truth.
+
+The framework analogue of the reference's dataset integration tests
+(euroc_examples.sh → evaluate_ate_scale.py): track a rendered sequence, export
+the trajectory, align with Horn+scale, assert RMS ATE.
+
+Current accuracy note (round 1): monocular-only on these short low-parallax
+synthetic runs is bootstrap-limited (~0.2 scene units ATE over a ~2 m path at
+scene scale ~10 m). Tracking robustness (no losses) is the hard gate here;
+ATE tightens as stereo/inertial/loop-closing land.
+"""
+import numpy as np
+import pytest
+
+from orbslam3_tpu.models.system import SlamSystem
+from orbslam3_tpu.models.tracking import TrackState
+from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
+from orbslam3_tpu.utils.evaluation import evaluate_trajectory
+
+N_FRAMES = 32
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    scene = RoomScene(seed=1)
+    poses = orbit_trajectory(N_FRAMES, radius=1.0, forward=0.04)
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0)
+    gt_centers = []
+    states = []
+    for i, (R, t) in enumerate(poses):
+        img = scene.render(R, t)
+        sys.track_monocular(img, ts=float(i) / 20.0)
+        gt_centers.append(-R.T @ t)
+        states.append(sys.state)
+    return sys, np.array(gt_centers), states
+
+
+def test_initializes_and_tracks(slam_run):
+    sys, gt, states = slam_run
+    assert sys.state == TrackState.OK
+    # no tracking losses after warm-up
+    assert all(s == TrackState.OK for s in states[10:]), [s.name for s in states]
+    st = sys.stats()
+    assert st["n_keyframes"] >= 4
+    assert st["n_map_points"] > 150, st
+
+
+def test_trajectory_ate(slam_run):
+    sys, gt, states = slam_run
+    ts, R_wc, t_wc, lost = sys.export_trajectory()
+    sel = ~lost
+    assert sel.sum() > 0.7 * N_FRAMES, sel.sum()
+    gt_ts = np.arange(N_FRAMES) / 20.0
+    ate, n_assoc = evaluate_trajectory(gt_ts, gt, ts[sel], t_wc[sel], with_scale=True)
+    assert n_assoc > 0.7 * N_FRAMES
+    assert ate < 0.35, ate
+
+
+def test_stats_sane(slam_run):
+    sys, gt, states = slam_run
+    st = sys.stats()
+    assert st["triangulated"] > 0
+    assert st["ba_runs"] >= 1
+
+
+def test_trajectory_export_tum_format(slam_run, tmp_path):
+    sys, gt, states = slam_run
+    path = tmp_path / "traj.txt"
+    sys.save_trajectory_tum(str(path))
+    lines = path.read_text().strip().splitlines()
+    assert len(lines) > 10
+    row = [float(x) for x in lines[0].split()]
+    assert len(row) == 8  # ts xyz qxyzw
+    q = np.array(row[4:])
+    assert abs(np.linalg.norm(q) - 1.0) < 1e-4
