@@ -18,6 +18,13 @@ import numpy as np
 
 def main():
     import jax
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        # axon backend can fail transiently (tunnel); fall back to CPU so the
+        # bench always produces its JSON line
+        jax.config.update("jax_platforms", "cpu")
+        platform = jax.devices()[0].platform
     import jax.numpy as jnp
     from orbslam3_tpu.ops import features, pose_opt
     from orbslam3_tpu.models import kernels
@@ -77,6 +84,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "platform": platform,
     }))
 
 

@@ -79,10 +79,11 @@ def pose_opt_kernel(cam_type: int, rounds: int = 4, iters: int = 10):
     from ..ops import pose_opt
 
     @jax.jit
-    def fn(R0, t0, pts_w, uv, inv_sigma2, valid, cam_params):
+    def fn(R0, t0, pts_w, uv, inv_sigma2, valid, cam_params, obs_ur=None, bf=0.0):
         return pose_opt.pose_optimize(
             R0, t0, pts_w, uv, inv_sigma2, valid, cam_params,
-            cam_type=cam_type, rounds=rounds, iters=iters)
+            cam_type=cam_type, rounds=rounds, iters=iters,
+            obs_ur=obs_ur, bf=bf)
 
     return fn
 

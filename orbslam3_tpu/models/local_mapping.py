@@ -27,6 +27,7 @@ class LocalMapper:
         self.K = np.asarray(K, np.float32)
         self.wh = np.asarray(wh, np.float32)
         self.orb_cfg = orb_cfg
+        self.bf = 0.0  # set by the system for stereo/RGB-D rigs
         self.ba_window = ba_window
         self.ba_max_fixed = ba_max_fixed
         self.ba_point_cap = ba_point_cap
@@ -280,6 +281,7 @@ class LocalMapper:
         o_kf = kf_lut[kf_idx[sel]]
         o_mp = mp_lut[obs_mp_global[sel]]
         o_uv = m.kf_feat_xy[kf_idx[sel], feat_idx[sel]]
+        o_ur = m.kf_feat_ur[kf_idx[sel], feat_idx[sel]]
         o_is2 = m.inv_level_sigma2[m.kf_feat_octave[kf_idx[sel], feat_idx[sel]]]
         o_src_kf = kf_idx[sel]
         o_src_feat = feat_idx[sel]
@@ -309,6 +311,8 @@ class LocalMapper:
             obs_inv_sigma2=jnp.asarray(pad(o_is2.astype(np.float32), Ob, 1.0)),
             obs_valid=jnp.asarray(pad(np.ones(len(o_kf), bool), Ob, False)),
             fixed_pose=jnp.asarray(pad(fixed_mask, Kb, True)),
+            obs_ur=jnp.asarray(pad(o_ur.astype(np.float32), Ob, -1.0)),
+            bf=jnp.asarray(self.bf, jnp.float32),
         )
         res = self._run_ba(prob, iters)
         # write back

@@ -72,7 +72,8 @@ class TrackingParams:
 class Tracker:
     def __init__(self, K: np.ndarray, D: np.ndarray | None, wh: tuple[int, int],
                  orb_cfg: feat_ops.OrbConfig, map_state: MapState,
-                 params: TrackingParams | None = None, seed: int = 0):
+                 params: TrackingParams | None = None, seed: int = 0,
+                 bf: float = 0.0, th_depth: float = 0.0):
         self.K = np.asarray(K, np.float32)
         self.D = None if D is None else np.asarray(D, np.float32)
         self.wh = np.asarray(wh, np.float32)
@@ -80,6 +81,10 @@ class Tracker:
         self.map = map_state
         self.p = params or TrackingParams()
         self.rng = np.random.default_rng(seed)
+        # stereo: bf = baseline*fx; th_depth = close/far point threshold
+        # (reference ThDepth, typically 35..40 x baseline)
+        self.bf = float(bf)
+        self.th_depth = float(th_depth)
 
         self.state = TrackState.NOT_INITIALIZED
         self.extract = feat_ops.make_extractor(int(wh[1]), int(wh[0]), orb_cfg)
@@ -121,6 +126,151 @@ class Tracker:
         self._log_trajectory(frame, tracked=ok)
         self.last_frame = frame
         return info
+
+    def process_stereo_frame(self, img_l: np.ndarray, img_r: np.ndarray,
+                             ts: float) -> dict:
+        """Stereo front end: extract both eyes, match along rows, then run the
+        common tracking path with depth available (reference GrabImageStereo
+        src/Tracking.cc:1257 + Frame stereo ctor src/Frame.cc:103)."""
+        import jax.numpy as jnp
+        from ..ops import stereo as stereo_ops
+        fid = self.n_frames
+        self.n_frames += 1
+        fl = self.extract(jnp.asarray(img_l))
+        fr = self.extract(jnp.asarray(img_r))
+        frame = build_frame(fid, ts, fl, self.K, self.D)
+        fr_frame = build_frame(fid, ts, fr, self.K, self.D)
+        ur, depth, ok = stereo_ops.stereo_match(
+            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+            jnp.asarray(fr_frame.xy), jnp.asarray(fr_frame.desc),
+            jnp.asarray(fr_frame.octave), jnp.asarray(fr_frame.valid),
+            jnp.asarray(self.map.scale_factors),
+            jnp.asarray(self.bf, jnp.float32),
+            jnp.asarray(0.1, jnp.float32))
+        # subpixel disparity (integer keypoints alone give z²/bf-level depth noise)
+        ur, ok = stereo_ops.subpixel_refine(
+            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+            jnp.asarray(frame.xy), ur, ok)
+        okn = np.asarray(ok)
+        urn = np.asarray(ur)
+        disp = frame.xy[:, 0] - urn
+        okn = okn & (disp > 0.1)
+        frame.ur = np.where(okn, urn, -1.0).astype(np.float32)
+        frame.depth = np.where(okn, self.bf / np.maximum(disp, 1e-6), -1.0).astype(np.float32)
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            done = self._stereo_init(frame)
+            info = {"state": self.state.name, "init": done}
+        else:
+            done = self._track(frame)
+            info = {"state": self.state.name,
+                    "inliers": frame.n_matched() if done else 0}
+        self._log_trajectory(frame, tracked=done)
+        self.last_frame = frame
+        return info
+
+    def process_rgbd_frame(self, img: np.ndarray, depth_map: np.ndarray,
+                           ts: float) -> dict:
+        """RGB-D front end: depth sampled at keypoint locations becomes a
+        virtual stereo coordinate (reference src/Frame.cc:1279)."""
+        import jax.numpy as jnp
+        fid = self.n_frames
+        self.n_frames += 1
+        feats = self.extract(jnp.asarray(img))
+        frame = build_frame(fid, ts, feats, self.K, self.D)
+        xi = np.clip(np.round(frame.xy[:, 0]).astype(int), 0, depth_map.shape[1] - 1)
+        yi = np.clip(np.round(frame.xy[:, 1]).astype(int), 0, depth_map.shape[0] - 1)
+        z = depth_map[yi, xi].astype(np.float32)
+        ok = frame.valid & (z > 0)
+        frame.depth = np.where(ok, z, -1.0).astype(np.float32)
+        frame.ur = np.where(ok, frame.xy[:, 0] - self.bf / np.maximum(z, 1e-6),
+                            -1.0).astype(np.float32)
+        if self.state == TrackState.NOT_INITIALIZED:
+            done = self._stereo_init(frame)
+            info = {"state": self.state.name, "init": done}
+        else:
+            done = self._track(frame)
+            info = {"state": self.state.name,
+                    "inliers": frame.n_matched() if done else 0}
+        self._log_trajectory(frame, tracked=done)
+        self.last_frame = frame
+        return info
+
+    def _stereo_init(self, frame: Frame) -> bool:
+        """Instant map from stereo depth (reference StereoInitialization
+        src/Tracking.cc:2485: needs >500 keypoints, spawns a point per valid
+        depth)."""
+        if frame.n_valid < 500:
+            return False
+        m = self.map
+        frame.R = np.eye(3, dtype=np.float32)
+        frame.t = np.zeros(3, np.float32)
+        k0 = m.add_keyframe(frame.R, frame.t, frame.ts, frame.frame_id,
+                            frame.xy, frame.angle, frame.octave, frame.desc,
+                            frame.valid, ur=frame.ur, depth=frame.depth)
+        sel = np.nonzero(frame.valid & (frame.depth > 0))[0]
+        if len(sel) < 100:
+            m.kf_valid[k0] = False
+            m.n_kf -= 1
+            return False
+        fx, fy, cx, cy = self.K
+        z = frame.depth[sel]
+        xyz = np.stack([(frame.xy[sel, 0] - cx) / fx * z,
+                        (frame.xy[sel, 1] - cy) / fy * z, z], -1).astype(np.float32)
+        dist = np.linalg.norm(xyz, axis=1)
+        normals = xyz / np.maximum(dist[:, None], 1e-9)
+        sf = m.scale_factors
+        lvl = frame.octave[sel]
+        maxd = dist * sf[lvl]
+        mind = maxd / sf[-1]
+        ids = m.add_map_points(xyz, frame.desc[sel], k0, normals, mind, maxd,
+                               first_kf=k0)
+        m.kf_feat_mp[k0, sel] = ids
+        m.mp_visible[ids] = 1
+        m.mp_found[ids] = 1
+        frame.feat_mp = m.kf_feat_mp[k0].copy()
+        self.ref_kf = k0
+        self.last_kf_frame_id = frame.frame_id
+        self.velocity = None
+        self.state = TrackState.OK
+        frame.tracked = True
+        return True
+
+    def _spawn_close_points(self, frame: Frame, kf_id: int, max_new: int = 100):
+        """Close-depth point spawning on keyframe creation (reference
+        CreateNewKeyFrame src/Tracking.cc:3653: sorts by depth, inserts points
+        up to ThDepth or at least the 100 closest)."""
+        m = self.map
+        sel = np.nonzero(frame.valid & (frame.depth > 0) & (frame.feat_mp < 0))[0]
+        if len(sel) == 0:
+            return
+        order = sel[np.argsort(frame.depth[sel])]
+        close = order[frame.depth[order] < self.th_depth]
+        if len(close) < max_new:
+            close = order[: max_new]
+        if len(close) == 0:
+            return
+        fx, fy, cx, cy = self.K
+        z = frame.depth[close]
+        Rwc = frame.R.T
+        c = -Rwc @ frame.t
+        xc = np.stack([(frame.xy[close, 0] - cx) / fx * z,
+                       (frame.xy[close, 1] - cy) / fy * z, z], -1)
+        xyz = (xc @ Rwc.T + c).astype(np.float32)
+        dirs = xyz - c
+        dist = np.linalg.norm(dirs, axis=1)
+        normals = dirs / np.maximum(dist[:, None], 1e-9)
+        sf = m.scale_factors
+        lvl = frame.octave[close]
+        maxd = dist * sf[lvl]
+        mind = maxd / sf[-1]
+        ids = m.add_map_points(xyz, frame.desc[close], kf_id, normals, mind,
+                               maxd, first_kf=kf_id)
+        m.kf_feat_mp[kf_id, close] = ids
+        m.mp_visible[ids] = 1
+        m.mp_found[ids] = 1
+        frame.feat_mp[close] = ids
 
     # ------------------------------------------------------------------
     # initialization
@@ -323,7 +473,8 @@ class Tracker:
         res = self.pose_opt(
             jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pts),
             jnp.asarray(frame.xy), jnp.asarray(inv_s2, jnp.float32),
-            jnp.asarray(matched & frame.valid), jnp.asarray(self.K))
+            jnp.asarray(matched & frame.valid), jnp.asarray(self.K),
+            jnp.asarray(frame.ur), jnp.asarray(self.bf, jnp.float32))
         frame.R = np.asarray(res.R)
         frame.t = np.asarray(res.t)
         inl = np.asarray(res.inlier)
@@ -467,14 +618,18 @@ class Tracker:
                            frame.xy, frame.angle, frame.octave, frame.desc,
                            frame.valid, feat_mp=frame.feat_mp.copy(),
                            ur=frame.ur, depth=frame.depth)
+        if self.bf > 0:
+            self._spawn_close_points(frame, k)
+            m.kf_feat_mp[k] = frame.feat_mp
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id
         if self.on_new_keyframe is not None:
             self.on_new_keyframe(k, initial=False)
-            # pull optimized pose back into the frame so the motion model and
-            # trajectory stay consistent with the refined map
-            frame.R = m.kf_R[k].copy()
-            frame.t = m.kf_t[k].copy()
+            # NOTE: deliberately do NOT copy the BA-adjusted KF pose back into
+            # the live frame — doing so feeds window-BA gauge wobble into the
+            # velocity model and can seed a pose-opt local-minimum runaway
+            # (found empirically; the reference's Tracking also keeps its own
+            # frame pose and only consumes corrections via the map points)
 
     # ------------------------------------------------------------------
     # trajectory

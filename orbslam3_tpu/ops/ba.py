@@ -47,6 +47,8 @@ class BAProblem(NamedTuple):
     obs_inv_sigma2: jax.Array  # (O,)
     obs_valid: jax.Array    # (O,) bool
     fixed_pose: jax.Array   # (K,) bool
+    obs_ur: jax.Array = None   # (O,) right-image u; <0 ⇒ mono observation
+    bf: jax.Array = 0.0        # baseline*fx (scalar)
 
 
 class BAResult(NamedTuple):
@@ -58,32 +60,56 @@ class BAResult(NamedTuple):
     n_inlier: jax.Array
 
 
-def _obs_residuals(p: BAProblem, pts, R, t, cam_type, cam_params):
+def _obs_ur(p: BAProblem, dtype):
+    if p.obs_ur is None:
+        return jnp.full(p.obs_kf.shape, -1.0, dtype)
+    return p.obs_ur
+
+
+def _linearize(p: BAProblem, pts, R, t, w_mask, cam_type, cam_params, huber):
+    """Return (chi2 (O,), w_row (O,3), Jpose (O,3,6), Jpt (O,3,3), r (O,3)).
+
+    Row 3 is the stereo right-column residual u_R = u − bf/z (reference
+    EdgeStereoSE3ProjectXYZ); zero-weighted for mono observations (obs_ur<0).
+    """
     Rk = R[p.obs_kf]
     tk = t[p.obs_kf]
     xw = pts[p.obs_mp]
     xc = jnp.einsum("oij,oj->oi", Rk, xw) + tk
+    # sanitize depth (inf/NaN Jacobians would poison the scatter sums even at
+    # zero weight); the pos mask downstream zeroes these residuals
+    pos = xc[..., 2] > 1e-3
+    xc = jnp.concatenate([xc[..., :2], jnp.maximum(xc[..., 2:3], 1e-2)], axis=-1)
     pred = cam_ops.project(cam_type, cam_params, xc)
-    r = p.obs_uv - pred
-    return r, xc, Rk
-
-
-def _linearize(p: BAProblem, pts, R, t, w_mask, cam_type, cam_params, huber):
-    """Return (chi2 (O,), w (O,), Jpose (O,2,6), Jpt (O,2,3), r (O,2))."""
-    r, xc, Rk = _obs_residuals(p, pts, R, t, cam_type, cam_params)
+    r_uv = p.obs_uv - pred
     Jproj = cam_ops.project_jac(cam_type, cam_params, xc)               # (O,2,3)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape[:-1] + (3, 3))
     Jse3 = jnp.concatenate([-lie.hat(xc), eye], axis=-1)                # (O,3,6)
+
+    obs_ur = _obs_ur(p, xc.dtype)
+    has_ur = obs_ur >= 0
+    z = xc[..., 2]
+    bf = jnp.asarray(p.bf, xc.dtype)
+    ur_pred = pred[..., 0] - bf / z
+    r_ur = jnp.where(has_ur, obs_ur - ur_pred, 0.0)
+    Jur_xc = Jproj[:, 0, :] + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), bf / (z * z)], axis=-1)
+    r = jnp.concatenate([r_uv, r_ur[..., None]], axis=-1)               # (O,3)
+    Jxc = jnp.concatenate([Jproj, Jur_xc[:, None, :]], axis=1)          # (O,3,3)
     # J = +dpred/dx so that JᵀWJ dx = JᵀW r with r = obs − pred (see pose_opt).
-    Jpose = jnp.einsum("oij,ojk->oik", Jproj, Jse3)                     # (O,2,6)
-    Jpt = jnp.einsum("oij,ojk->oik", Jproj, Rk)                         # (O,2,3)
-    chi2 = jnp.sum(r * r, axis=-1) * p.obs_inv_sigma2
+    Jpose = jnp.einsum("oij,ojk->oik", Jxc, Jse3)                       # (O,3,6)
+    Jpt = jnp.einsum("oij,ojk->oik", Jxc, Rk)                           # (O,3,3)
+    row_w = jnp.concatenate(
+        [jnp.ones_like(r_uv), has_ur[..., None].astype(r.dtype)], axis=-1)
+
+    chi2 = jnp.sum(r * r * row_w, axis=-1) * p.obs_inv_sigma2
+    chi2 = jnp.where(pos, chi2, 1e9)  # behind-camera ⇒ never an inlier
+    huber_eff = jnp.where(has_ur, huber * jnp.sqrt(CHI2_STEREO / CHI2_MONO), huber)
     rn = jnp.sqrt(chi2 + 1e-12)
-    w_huber = jnp.where(rn <= huber, 1.0, huber / rn)
-    # gate obs on positive depth too (behind-camera points get zero weight)
-    pos = xc[..., 2] > 1e-3
+    w_huber = jnp.where(rn <= huber_eff, 1.0, huber_eff / rn)
     w = w_mask * pos.astype(xc.dtype) * p.obs_inv_sigma2 * w_huber
-    return chi2, w, Jpose, Jpt, r
+    w_row = w[:, None] * row_w                                          # (O,3)
+    return chi2, w_row, Jpose, Jpt, r
 
 
 def _robust_cost(chi2, w_mask, huber):
@@ -99,16 +125,16 @@ def _gn_step(p: BAProblem, pts, R, t, w_mask, lam, cam_type, cam_params, huber):
     dtype = pts.dtype
     chi2, w, Jpose, Jpt, r = _linearize(p, pts, R, t, w_mask, cam_type, cam_params, huber)
 
-    # block accumulations (scatter-add over observations)
-    App = jnp.einsum("oik,o,oil->okl", Jpose, w, Jpose)                 # (O,6,6)
+    # block accumulations (scatter-add over observations); w is per-row (O,3)
+    App = jnp.einsum("oik,oi,oil->okl", Jpose, w, Jpose)                # (O,6,6)
     Hpp = jnp.zeros((K, 6, 6), dtype).at[p.obs_kf].add(App)
     bp = jnp.zeros((K, 6), dtype).at[p.obs_kf].add(
-        jnp.einsum("oik,o,oi->ok", Jpose, w, r))
-    All = jnp.einsum("oik,o,oil->okl", Jpt, w, Jpt)
+        jnp.einsum("oik,oi,oi->ok", Jpose, w, r))
+    All = jnp.einsum("oik,oi,oil->okl", Jpt, w, Jpt)
     Hll = jnp.zeros((P, 3, 3), dtype).at[p.obs_mp].add(All)
     bl = jnp.zeros((P, 3), dtype).at[p.obs_mp].add(
-        jnp.einsum("oik,o,oi->ok", Jpt, w, r))
-    Bo = jnp.einsum("oik,o,oil->okl", Jpose, w, Jpt)                    # (O,6,3)
+        jnp.einsum("oik,oi,oi->ok", Jpt, w, r))
+    Bo = jnp.einsum("oik,oi,oil->okl", Jpose, w, Jpt)                   # (O,6,3)
     B = jnp.zeros((P, K, 6, 3), dtype).at[p.obs_mp, p.obs_kf].add(Bo)
 
     # landmark damping + guard for unobserved points

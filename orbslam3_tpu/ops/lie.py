@@ -62,9 +62,15 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Log map SO(3) → so(3), batched; stable up to theta slightly below pi."""
+    """Log map SO(3) → so(3), batched; stable up to theta slightly below pi.
+
+    The arccos argument is clipped strictly inside (−1, 1) so the function is
+    differentiable at the identity (arccos' diverges at ±1 — pose-graph
+    residual Jacobians are taken by autodiff exactly there); the ~4e-4 rad
+    bias this adds at theta≈0 is far below optimization tolerances.
+    """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)
     w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
     sin_t = jnp.sin(theta)

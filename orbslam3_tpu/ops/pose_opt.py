@@ -3,18 +3,20 @@
 Replaces the reference's g2o ``Optimizer::PoseOptimization`` (reference
 src/Optimizer.cc:943: BlockSolver_6_3 + LinearSolverDense + Levenberg, 4
 rounds x 10 iterations, chi2 outlier reclassification at 5.991 mono / 7.815
-stereo between rounds, Huber delta sqrt(5.991)) with a fixed-shape batched
-Levenberg-Marquardt on SE(3):
+stereo between rounds, Huber delta sqrt(5.991)/sqrt(7.815)) with a
+fixed-shape batched Levenberg-Marquardt on SE(3):
 
-- residual r_i = uv_i - project(R x_i + t), information = invSigma2 of the
-  keypoint octave (reference src/Optimizer.cc:988-1010).
-- 6x6 normal equations accumulated over a static-capacity observation set
-  with a validity mask; one `jnp.linalg.solve` per LM step.
-- outliers toggled by chi2 between rounds exactly like the reference's
-  ``setLevel(0|1)`` scheme, but branchlessly via the weight mask.
+- mono residual r_i = uv_i − project(R x_i + t) (EdgeSE3ProjectXYZOnlyPose,
+  reference include/OptimizableTypes.h:59);
+- stereo residual adds the right-image column u_R = u − bf/z
+  (EdgeStereoSE3ProjectXYZOnlyPose, reference include/G2oTypes.h EdgeStereo
+  semantics) — observations with obs_ur < 0 are treated as monocular;
+- information = invSigma2 of the keypoint octave; Huber IRLS; outliers
+  toggled by chi2 between rounds branchlessly (the reference's setLevel(0|1)).
 
 Everything is jit-compatible: `lax.fori_loop` outer rounds, fixed iteration
-counts, no data-dependent shapes.
+counts, no data-dependent shapes. Depths are sanitized so masked/behind-camera
+entries cannot emit NaNs into the masked sums.
 """
 from __future__ import annotations
 
@@ -38,29 +40,43 @@ class PoseOptResult(NamedTuple):
     chi2: jax.Array       # () float32 total inlier chi2
 
 
-def _residuals(R, t, pts_w, uv, cam_type, cam_params):
+def _build_normal_eq(R, t, pts_w, uv, obs_ur, bf, inv_sigma2, w_mask,
+                     cam_type, cam_params, huber_mono, huber_stereo):
+    """One linearization with mono+stereo rows: H (6,6), b (6,), chi2 (N,)."""
     xc = lie.se3_apply(R, t, pts_w)
+    pos = xc[..., 2] > 1e-3
+    # sanitize depth: masked-out / behind-camera entries would otherwise emit
+    # inf/NaN Jacobians, and 0-weight × NaN = NaN still poisons the sums
+    xc = jnp.concatenate([xc[..., :2], jnp.maximum(xc[..., 2:3], 1e-2)], axis=-1)
     pred = cam_ops.project(cam_type, cam_params, xc)
-    return uv - pred, xc
+    r_uv = uv - pred                                                 # (N,2)
+    Jproj = cam_ops.project_jac(cam_type, cam_params, xc)            # (N,2,3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape[:-1] + (3, 3))
+    Jse3 = jnp.concatenate([-lie.hat(xc), eye], axis=-1)             # (N,3,6)
 
+    has_ur = obs_ur >= 0
+    z = xc[..., 2]
+    ur_pred = pred[..., 0] - bf / z
+    r_ur = jnp.where(has_ur, obs_ur - ur_pred, 0.0)                  # (N,)
+    # d ur_pred / d xc = Jproj[0] + [0, 0, bf/z²]
+    Jur_xc = Jproj[:, 0, :] + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), bf / (z * z)], axis=-1)
+    r = jnp.concatenate([r_uv, r_ur[..., None]], axis=-1)            # (N,3)
+    Jxc = jnp.concatenate([Jproj, Jur_xc[:, None, :]], axis=1)       # (N,3,3)
+    J = jnp.einsum("nij,njk->nik", Jxc, Jse3)                        # (N,3,6)
+    # zero the stereo row for mono observations
+    row_w = jnp.concatenate(
+        [jnp.ones_like(r_uv), has_ur[..., None].astype(r.dtype)], axis=-1)
 
-def _build_normal_eq(R, t, pts_w, uv, inv_sigma2, w_mask, cam_type, cam_params,
-                     huber_delta):
-    """One linearization: H (6,6), b (6,), per-obs chi2."""
-    r, xc = _residuals(R, t, pts_w, uv, cam_type, cam_params)
-    Jproj = cam_ops.project_jac(cam_type, cam_params, xc)          # (N,2,3)
-    # d xc / d xi with update T <- Exp([w v]) T : [-hat(xc) | I]
-    Jse3 = jnp.concatenate([-lie.hat(xc), jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape[:-1] + (3, 3))], axis=-1)  # (N,3,6)
-    # With r = obs - pred and step dx solving  JᵀWJ dx = JᵀW r,  J must be
-    # +dpred/dxi (r(dx) ≈ r − J dx).
-    J = jnp.einsum("nij,njk->nik", Jproj, Jse3)                    # (N,2,6)
-    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2                     # (N,)
-    # Huber IRLS weight on the whitened norm
+    chi2 = jnp.sum(r * r * row_w, axis=-1) * inv_sigma2
+    chi2 = jnp.where(pos, chi2, 1e9)  # behind-camera ⇒ never an inlier
+    huber = jnp.where(has_ur, huber_stereo, huber_mono)
     rn = jnp.sqrt(chi2 + 1e-12)
-    w_huber = jnp.where(rn <= huber_delta, 1.0, huber_delta / rn)
-    w = w_mask * inv_sigma2 * w_huber                               # (N,)
-    H = jnp.einsum("nik,n,nil->kl", J, w, J)
-    b = jnp.einsum("nik,n,ni->k", J, w, r)
+    w_huber = jnp.where(rn <= huber, 1.0, huber / rn)
+    w = w_mask * pos.astype(r.dtype) * inv_sigma2 * w_huber          # (N,)
+    wr = w[:, None] * row_w
+    H = jnp.einsum("nik,ni,nil->kl", J, wr, J)
+    b = jnp.einsum("nik,ni,ni->k", J, wr, r)
     return H, b, chi2
 
 
@@ -70,38 +86,55 @@ def pose_optimize(
     cam_params: jax.Array, cam_type: int = cam_ops.PINHOLE,
     rounds: int = 4, iters: int = 10, chi2_th: float = CHI2_MONO,
     chi2_schedule: jax.Array | None = None,
+    obs_ur: jax.Array | None = None, bf: jax.Array | float = 0.0,
 ) -> PoseOptResult:
     """4x10 LM with between-round chi2 reclassification.
 
-    pts_w: (N,3) world points; uv: (N,2) observations; valid: (N,) mask.
+    pts_w: (N,3) world points; uv: (N,2) observations; valid: (N,) mask;
+    obs_ur: optional (N,) right-image u (−1 ⇒ mono observation);
     chi2_schedule: optional (rounds,) per-round outlier gates (the inertial
     variants use annealed gates {12, 7.5, 5.991, 5.991}, reference
-    src/Optimizer.cc:7493-7530); default = constant chi2_th.
+    src/Optimizer.cc:7493-7530); default = constant chi2_th. Stereo rows use
+    gates scaled by CHI2_STEREO/CHI2_MONO.
     """
     dtype = pts_w.dtype
-    huber = jnp.sqrt(jnp.asarray(chi2_th, dtype))
+    if obs_ur is None:
+        obs_ur = jnp.full(pts_w.shape[:1], -1.0, dtype)
+    bf = jnp.asarray(bf, dtype)
+    huber_m = jnp.sqrt(jnp.asarray(CHI2_MONO, dtype))
+    huber_s = jnp.sqrt(jnp.asarray(CHI2_STEREO, dtype))
     if chi2_schedule is None:
         schedule = jnp.full((rounds,), chi2_th, dtype)
     else:
         schedule = jnp.asarray(chi2_schedule, dtype)
+    has_ur = obs_ur >= 0
+    gate_scale = jnp.where(has_ur, CHI2_STEREO / CHI2_MONO, 1.0)
+
+    def nq(R, t, w_mask):
+        return _build_normal_eq(R, t, pts_w, uv, obs_ur, bf, inv_sigma2,
+                                w_mask, cam_type, cam_params, huber_m, huber_s)
+
+    def huber_cost(chi2, w_mask):
+        # UNBOUNDED robust cost for the LM accept test — a capped cost
+        # saturates when the initial pose is poor, blinding LM to real
+        # improvements and locking the pose to the motion prediction
+        d = jnp.where(has_ur, huber_s, huber_m)
+        d2 = d * d
+        rho = jnp.where(chi2 <= d2, chi2, 2.0 * d * jnp.sqrt(chi2 + 1e-12) - d2)
+        # behind-camera sentinels (1e9) would dominate: cap only those
+        rho = jnp.minimum(rho, 1e6)
+        return jnp.sum(rho * w_mask)
 
     def lm_iters(R, t, w_mask):
         def body(_, carry):
             R, t, lam = carry
-            H, b, _ = _build_normal_eq(R, t, pts_w, uv, inv_sigma2, w_mask,
-                                       cam_type, cam_params, huber)
+            H, b, c_old = nq(R, t, w_mask)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
             dx = jnp.linalg.solve(Hd, b)
             Rn_, tn_ = lie.se3_exp(dx)
             Rn, tn = lie.se3_compose(Rn_, tn_, R, t)
-            # accept if chi2 decreased
-            _, _, c_old = _build_normal_eq(R, t, pts_w, uv, inv_sigma2, w_mask,
-                                           cam_type, cam_params, huber)
-            _, _, c_new = _build_normal_eq(Rn, tn, pts_w, uv, inv_sigma2, w_mask,
-                                           cam_type, cam_params, huber)
-            old = jnp.sum(jnp.minimum(c_old, chi2_th * 4) * w_mask)
-            new = jnp.sum(jnp.minimum(c_new, chi2_th * 4) * w_mask)
-            good = new < old
+            _, _, c_new = nq(Rn, tn, w_mask)
+            good = huber_cost(c_new, w_mask) < huber_cost(c_old, w_mask)
             R = jnp.where(good, Rn, R)
             t = jnp.where(good, tn, t)
             lam = jnp.where(good, lam * 0.5, lam * 4.0)
@@ -114,17 +147,15 @@ def pose_optimize(
         R, t, inlier = carry
         w_mask = (valid & inlier).astype(dtype)
         R, t = lm_iters(R, t, w_mask)
-        _, _, chi2 = _build_normal_eq(R, t, pts_w, uv, inv_sigma2,
-                                      jnp.ones_like(w_mask), cam_type, cam_params, huber)
-        inlier = chi2 < schedule[i]
+        _, _, chi2 = nq(R, t, jnp.ones_like(w_mask))
+        inlier = chi2 < schedule[i] * gate_scale
         return R, t, inlier
 
     R, t, inlier = jax.lax.fori_loop(
         0, rounds, round_body, (R0, t0, jnp.ones(pts_w.shape[0], bool))
     )
     inlier = inlier & valid
-    _, _, chi2 = _build_normal_eq(R, t, pts_w, uv, inv_sigma2,
-                                  inlier.astype(dtype), cam_type, cam_params, huber)
+    _, _, chi2 = nq(R, t, inlier.astype(dtype))
     return PoseOptResult(
         R=R, t=t, inlier=inlier,
         n_inliers=jnp.sum(inlier.astype(jnp.int32)),

@@ -1,0 +1,146 @@
+"""Binary visual vocabulary: array-form tree + dense bag-of-words scoring.
+
+Replaces DBoW2 (reference Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:
+``transform`` descends a k=10-branching, L=6 tree by min Hamming distance
+:355-363; TF-IDF L1 scoring :162; the inverted ``KeyFrameDatabase`` file,
+reference src/KeyFrameDatabase.cc) with a TPU-native formulation:
+
+- The tree is flat arrays: per-level child descriptors + index tables. A
+  whole frame's descriptors descend the tree **in parallel** (L gather+argmin
+  steps on the VPU) — the reference descends one descriptor at a time.
+- A bag-of-words vector is a dense (n_words,) tf-idf histogram; scoring a
+  query against every keyframe is one elementwise-min reduction
+  (s = Σᵢ min(vᵢ, wᵢ), DBoW2 L1 score up to affine) over a (K, W) matrix —
+  the inverted file is unnecessary when the whole database scores in one
+  batched op.
+- The vocabulary is trained (hierarchical k-medians with bit-majority
+  centroids) on descriptors sampled from the target domain; the reference
+  ships a pre-trained 1M-word ORBvoc (absent from its snapshot). Default here
+  is k=10, L=3..4 (1k-10k words) — ample for in-session place recognition.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _popcount_np(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _majority_centroid(desc: np.ndarray) -> np.ndarray:
+    """Bitwise-majority centroid of (N,8) uint32 descriptors."""
+    bits = np.unpackbits(desc.view(np.uint8), axis=-1)  # (N,256)
+    maj = (bits.mean(0) >= 0.5).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+def _kmedians_binary(desc: np.ndarray, k: int, rng, iters: int = 8):
+    """k-medians clustering of binary descriptors; returns (k,8) centroids."""
+    n = len(desc)
+    if n <= k:
+        out = np.zeros((k, 8), np.uint32)
+        out[:n] = desc
+        return out
+    centroids = desc[rng.choice(n, k, replace=False)]
+    for _ in range(iters):
+        d = _popcount_np(desc[:, None, :] ^ centroids[None, :, :])  # (N,k)
+        assign = d.argmin(1)
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                centroids[j] = _majority_centroid(desc[sel])
+    return centroids
+
+
+class BinaryVocabulary:
+    """Trained tree: levels list of (nodes_at_level, k, 8) child descriptors."""
+
+    def __init__(self, k: int = 10, levels: int = 3):
+        self.k = k
+        self.levels = levels
+        self.n_words = k ** levels
+        self.children: list[np.ndarray] = []   # level l: (k**l, k, 8) uint32
+        self.idf: np.ndarray | None = None
+
+    def train(self, desc: np.ndarray, seed: int = 0, max_per_node: int = 20000):
+        """Hierarchical k-medians (the reference vocabulary's construction,
+        DBoW2 TemplatedVocabulary::create)."""
+        rng = np.random.default_rng(seed)
+        self.children = []
+        groups = [desc]
+        for lvl in range(self.levels):
+            n_nodes = self.k ** lvl
+            child = np.zeros((n_nodes, self.k, 8), np.uint32)
+            next_groups = []
+            for node in range(n_nodes):
+                g = groups[node]
+                if len(g) > max_per_node:
+                    g = g[rng.choice(len(g), max_per_node, replace=False)]
+                cents = _kmedians_binary(g, self.k, rng)
+                child[node] = cents
+                if len(groups[node]):
+                    d = _popcount_np(groups[node][:, None, :] ^ cents[None, :, :])
+                    assign = d.argmin(1)
+                else:
+                    assign = np.zeros(0, int)
+                for j in range(self.k):
+                    next_groups.append(groups[node][assign == j])
+            self.children.append(child)
+            groups = next_groups
+        # uniform idf until stats accumulate
+        self.idf = np.ones(self.n_words, np.float32)
+        return self
+
+    # -- device-side transform -------------------------------------------------
+    def transform_fn(self):
+        """Returns a jitted fn(desc (N,8) uint32, valid (N,)) → word ids (N,)."""
+        children = [jnp.asarray(c) for c in self.children]
+        k = self.k
+
+        @jax.jit
+        def fn(desc, valid):
+            node = jnp.zeros(desc.shape[0], jnp.int32)
+            for lvl in range(self.levels):
+                cents = children[lvl][node]              # (N,k,8)
+                x = jnp.bitwise_xor(cents, desc[:, None, :])
+                d = jnp.sum(jax.lax.population_count(x), axis=-1)
+                best = jnp.argmin(d, axis=-1).astype(jnp.int32)
+                node = node * k + best
+            return jnp.where(valid, node, -1)
+
+        return fn
+
+    def bow_fn(self):
+        """Returns a jitted fn(word_ids (N,)) → tf-idf L1-normalized (W,)."""
+        idf = jnp.asarray(self.idf)
+        W = self.n_words
+
+        @jax.jit
+        def fn(word_ids):
+            ok = word_ids >= 0
+            hist = jnp.zeros((W,), jnp.float32).at[
+                jnp.where(ok, word_ids, 0)].add(ok.astype(jnp.float32))
+            v = hist * idf
+            return v / jnp.maximum(jnp.sum(v), 1e-9)
+
+        return fn
+
+
+@jax.jit
+def l1_scores(query: jax.Array, database: jax.Array) -> jax.Array:
+    """DBoW2 L1 similarity of one BoW vector vs a database (K, W) → (K,).
+
+    Reference TemplatedVocabulary score (L1 norm): s = 2·Σ min(vᵢ, wᵢ)
+    (equivalently 1 − ½|v−w|₁ for L1-normalized vectors)."""
+    return 2.0 * jnp.sum(jnp.minimum(query[None, :], database), axis=-1)
+
+
+def random_descriptors(n: int, seed: int = 0) -> np.ndarray:
+    """Structured random descriptors for default vocab training (bits with
+    spatially-correlated probabilities, closer to ORB statistics than iid)."""
+    rng = np.random.default_rng(seed)
+    p = rng.beta(2, 2, size=(1, 256))
+    bits = (rng.random((n, 256)) < p).astype(np.uint8)
+    return np.packbits(bits, axis=-1).view(np.uint32).reshape(n, 8)

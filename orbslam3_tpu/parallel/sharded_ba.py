@@ -52,6 +52,8 @@ def _local_schur_pieces(R, t, pts_sh, obs_kf, obs_mp_local, obs_uv, obs_w,
     tk = t[obs_kf]
     xw = pts_sh[obs_mp_local]
     xc = jnp.einsum("oij,oj->oi", Rk, xw) + tk
+    pos_z = xc[..., 2] > 1e-3
+    xc = jnp.concatenate([xc[..., :2], jnp.maximum(xc[..., 2:3], 1e-2)], axis=-1)
     pred = cam_ops.project(cam_type, cam_params, xc)
     r = obs_uv - pred
     Jproj = cam_ops.project_jac(cam_type, cam_params, xc)
@@ -62,7 +64,7 @@ def _local_schur_pieces(R, t, pts_sh, obs_kf, obs_mp_local, obs_uv, obs_w,
     chi2 = jnp.sum(r * r, axis=-1) * obs_w
     rn = jnp.sqrt(chi2 + 1e-12)
     w_h = jnp.where(rn <= huber, 1.0, huber / rn)
-    pos = (xc[..., 2] > 1e-3).astype(xc.dtype)
+    pos = pos_z.astype(xc.dtype)
     w = obs_w * w_h * pos
 
     P_sh = pts_sh.shape[0]

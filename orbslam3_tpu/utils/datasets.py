@@ -191,15 +191,20 @@ class RoomScene:
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
-        from scipy.ndimage import gaussian_filter
-        # sharp multi-scale texture: blurred binary noise at 3 scales + low-freq shading
+        # "Mondrian" texture: sparse random rectangles of varied size/intensity.
+        # Locally distinctive neighborhoods (uniform binary noise is self-similar
+        # at every scale → ~50% descriptor mismatch rates, an unrealistic
+        # association stress real imagery doesn't exhibit) and corner-rich.
         def make_tex():
-            t = np.zeros((self.tex_n, self.tex_n))
-            for sigma, amp in ((1.0, 90.0), (3.0, 60.0), (9.0, 40.0)):
-                n = gaussian_filter(rng.uniform(0, 1, (self.tex_n, self.tex_n)), sigma)
-                n = (n > np.median(n)).astype(float) * amp
-                t += n
-            t = t / t.max() * 200.0 + 30.0
+            t = np.full((self.tex_n, self.tex_n), 40.0)
+            n_rect = 2600
+            xs = rng.integers(0, self.tex_n, n_rect)
+            ys = rng.integers(0, self.tex_n, n_rect)
+            ws = rng.integers(6, 90, n_rect)
+            hs = rng.integers(6, 90, n_rect)
+            vals = rng.uniform(25.0, 235.0, n_rect)
+            for x, y, w_, h_, v in zip(xs, ys, ws, hs, vals):
+                t[y:y + h_, x:x + w_] = v
             return t
         # one shared texture atlas per wall keeps memory modest
         self.textures = [make_tex() for _ in range(5)]
@@ -223,7 +228,13 @@ class RoomScene:
     def K(self) -> np.ndarray:
         return np.array([self.fx, self.fy, self.cx, self.cy], dtype=np.float32)
 
-    def render(self, R_cw: np.ndarray, t_cw: np.ndarray) -> np.ndarray:
+    def stereo_pose(self, R_cw: np.ndarray, t_cw: np.ndarray, baseline: float):
+        """World→right-camera pose for a rectified rig: x_r = x_l − [b,0,0]."""
+        t_r = t_cw - np.array([baseline, 0.0, 0.0])
+        return R_cw, t_r
+
+    def render(self, R_cw: np.ndarray, t_cw: np.ndarray,
+               return_depth: bool = False):
         uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
         rays_c = np.stack([(uu - self.cx) / self.fx, (vv - self.cy) / self.fy,
                            np.ones_like(uu, float)], axis=-1)
@@ -250,6 +261,11 @@ class RoomScene:
                    + tex[y0 + 1, x0] * (1 - fx_) * fy_ + tex[y0 + 1, x0 + 1] * fx_ * fy_)
             img = np.where(ok, val, img)
             best_t = np.where(ok, tt, best_t)
+        if return_depth:
+            # z-depth = ray parameter * ray z-component in camera frame (=1 by
+            # construction of rays_c) → depth = tt * rays_c_z = tt
+            depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+            return img.astype(np.float32), depth
         return img.astype(np.float32)
 
 

@@ -1,0 +1,118 @@
+"""Deterministic loop-closure test on a hand-built drifted map.
+
+Simulates the state after a drifting loop traversal: keyframes around a
+circle, the revisited region mapped TWICE (original points + drift-displaced
+duplicates with the same descriptors), then runs the full LoopCloser
+(BoW candidates → Sim3 RANSAC → projection check → pose graph) and asserts
+the trajectory snaps back toward ground truth.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orbslam3_tpu.models.loop_closing import LoopCloser
+from orbslam3_tpu.models.map import MapConfig, MapState
+from orbslam3_tpu.ops import lie, vocab as vocab_ops
+
+K_CAM = np.asarray([458.0, 458.0, 376.0, 240.0], np.float32)
+WH = (752, 480)
+
+
+def project(R, t, pts):
+    pc = pts @ R.T + t
+    z = pc[:, 2]
+    u = 458.0 * pc[:, 0] / np.maximum(z, 1e-6) + 376.0
+    v = 458.0 * pc[:, 1] / np.maximum(z, 1e-6) + 240.0
+    ok = (z > 0.5) & (u > 10) & (u < 742) & (v > 10) & (v < 470)
+    return np.stack([u, v], -1), ok
+
+
+@pytest.fixture(scope="module")
+def drifted_map():
+    rng = np.random.default_rng(0)
+    n_world = 900
+    # points on a cylinder of radius 8 around the origin
+    ang = rng.uniform(0, 2 * np.pi, n_world)
+    wp = np.stack([8 * np.cos(ang), rng.uniform(-2, 2, n_world), 8 * np.sin(ang)], -1)
+    wdesc = rng.integers(0, 2 ** 32, (n_world, 8), dtype=np.uint32)
+
+    n_kf = 16
+    cfg = MapConfig(max_keyframes=64, max_map_points=8192, n_features=512)
+    m = MapState(cfg)
+    gt_R, gt_t = [], []
+    drift_R, drift_t = [], []
+    # drift grows linearly along the loop, closing mismatch ~0.5
+    for k in range(n_kf):
+        a = 2 * np.pi * k / n_kf
+        # camera at radius 2, looking outward
+        c = np.array([2 * np.cos(a), 0.0, 2 * np.sin(a)])
+        yaw = -a  # look along +x rotated
+        R_wc = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                         [-np.sin(yaw), 0, np.cos(yaw)]])
+        R = R_wc.T
+        t = -R @ c
+        gt_R.append(R.astype(np.float32)); gt_t.append(t.astype(np.float32))
+        frac = k / (n_kf - 1)
+        dR = np.asarray(lie.so3_exp(jnp.asarray([0, 0.06 * frac, 0], jnp.float32)))
+        dt = np.array([0.4 * frac, 0.0, 0.25 * frac], np.float32)
+        Rd = dR @ R
+        td = t + dt
+        drift_R.append(Rd.astype(np.float32)); drift_t.append(td.astype(np.float32))
+
+    world_mp = np.full(n_world, -1, np.int32)
+    for k in range(n_kf):
+        uv, ok = project(gt_R[k], gt_t[k], wp)
+        sel = np.nonzero(ok)[0][:500]
+        n = len(sel)
+        fresh = sel[world_mp[sel] < 0]
+        redetected = k >= n_kf - 2 and True
+        if k < n_kf - 2:
+            # map new world points at their TRUE position transformed by the
+            # drift of this KF: x_est = T_drift⁻¹(T_gt(x))
+            xc = wp[fresh] @ gt_R[k].T + gt_t[k]
+            x_est = (xc - drift_t[k]) @ drift_R[k]
+            ids = m.add_map_points(x_est.astype(np.float32), wdesc[fresh], k,
+                                   np.tile([0, 0, 1.0], (len(fresh), 1)).astype(np.float32),
+                                   np.full(len(fresh), 0.5, np.float32),
+                                   np.full(len(fresh), 50.0, np.float32), first_kf=k)
+            world_mp[fresh] = ids
+        else:
+            # revisit: create drift-displaced duplicates for ALL visible points
+            xc = wp[sel] @ gt_R[k].T + gt_t[k]
+            x_est = (xc - drift_t[k]) @ drift_R[k]
+            ids = m.add_map_points(x_est.astype(np.float32), wdesc[sel], k,
+                                   np.tile([0, 0, 1.0], (len(sel), 1)).astype(np.float32),
+                                   np.full(len(sel), 0.5, np.float32),
+                                   np.full(len(sel), 50.0, np.float32), first_kf=k)
+            dup_map = dict(zip(sel, ids))
+
+        feat_mp = np.full(cfg.n_features, -1, np.int32)
+        if k < n_kf - 2:
+            feat_mp[:n] = world_mp[sel]
+        else:
+            feat_mp[:n] = [dup_map[s] for s in sel]
+        kf = m.add_keyframe(drift_R[k], drift_t[k], float(k), k,
+                            uv[sel].astype(np.float32),
+                            np.zeros(cfg.n_features, np.float32)[:n] * 0,
+                            np.zeros(n, np.int32), wdesc[sel],
+                            np.ones(n, bool), feat_mp=feat_mp[:n])
+    return m, gt_R, gt_t, n_kf
+
+
+def test_loop_detected_and_corrected(drifted_map):
+    m, gt_R, gt_t, n_kf = drifted_map
+    lc = LoopCloser(m, K_CAM, WH, min_kfs=4, exclude_recent=4)
+    detected = False
+    for k in range(n_kf):
+        if lc.process_keyframe(k):
+            detected = True
+    assert detected, lc.stats
+    assert lc.stats["loops_corrected"] >= 1
+    # trajectory should be much closer to gt after correction
+    errs = [np.linalg.norm((-m.kf_R[k].T @ m.kf_t[k]) - (-gt_R[k].T @ gt_t[k]))
+            for k in range(n_kf)]
+    # pre-correction drift reached ~0.47 at the last KF; the pose graph closes
+    # the loop-end discrepancy (mid-chain keeps interpolated residual until a
+    # global BA — reference runs GBA after CorrectLoop, a later-round item)
+    assert errs[-1] < 0.2, errs
+    assert max(errs) < 0.45, errs  # < the 0.47 uncorrected end-drift
