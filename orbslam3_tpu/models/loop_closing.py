@@ -101,17 +101,20 @@ class LoopCloser:
         return cand[order[:n_best]]
 
     # ------------------------------------------------------------------
-    def _verify_candidate(self, kf1: int, kf2: int):
+    def _verify_candidate(self, kf1: int, kf2: int, map1=None, map2=None):
         """BoW-style match + Sim3 RANSAC + projection confirmation
-        (reference DetectCommonRegionsFromBoW src/LoopClosing.cc:730)."""
-        m = self.map
+        (reference DetectCommonRegionsFromBoW src/LoopClosing.cc:730).
+        map1/map2 default to this closer's map; passing a different map2
+        verifies a cross-map (Atlas merge) candidate."""
+        m = map1 if map1 is not None else self.map
+        m2 = map2 if map2 is not None else self.map
         has1 = m.kf_feat_valid[kf1] & (m.kf_feat_mp[kf1] >= 0)
-        has2 = m.kf_feat_valid[kf2] & (m.kf_feat_mp[kf2] >= 0)
+        has2 = m2.kf_feat_valid[kf2] & (m2.kf_feat_mp[kf2] >= 0)
         if has1.sum() < 20 or has2.sum() < 20:
             return False, None
         idx, best, ok = matching.search_by_descriptor(
             jnp.asarray(m.kf_feat_desc[kf1]), jnp.asarray(has1),
-            jnp.asarray(m.kf_feat_desc[kf2]), jnp.asarray(has2),
+            jnp.asarray(m2.kf_feat_desc[kf2]), jnp.asarray(has2),
             max_dist=matching.TH_LOW, ratio=0.9)
         okn = np.asarray(ok)
         if okn.sum() < 20:   # nBoWMatches (reference 20)
@@ -119,17 +122,17 @@ class LoopCloser:
         f1 = np.nonzero(okn)[0]
         f2 = np.asarray(idx)[f1]
         mp1 = m.kf_feat_mp[kf1][f1]
-        mp2 = m.kf_feat_mp[kf2][f2]
-        sel = m.mp_valid[mp1] & m.mp_valid[mp2]
+        mp2 = m2.kf_feat_mp[kf2][f2]
+        sel = m.mp_valid[mp1] & m2.mp_valid[mp2]
         f1, f2, mp1, mp2 = f1[sel], f2[sel], mp1[sel], mp2[sel]
         n = len(mp1)
         if n < 15:
             return False, None
         # camera-frame 3D positions
         x1 = m.mp_xyz[mp1] @ m.kf_R[kf1].T + m.kf_t[kf1]
-        x2 = m.mp_xyz[mp2] @ m.kf_R[kf2].T + m.kf_t[kf2]
+        x2 = m2.mp_xyz[mp2] @ m2.kf_R[kf2].T + m2.kf_t[kf2]
         sig1 = m.level_sigma2[m.kf_feat_octave[kf1, f1]]
-        sig2 = m.level_sigma2[m.kf_feat_octave[kf2, f2]]
+        sig2 = m2.level_sigma2[m2.kf_feat_octave[kf2, f2]]
         rand = self.rng.integers(0, n, (100, 3)).astype(np.int32)
         res = sim3_ops.sim3_ransac(
             jnp.asarray(x1.astype(np.float32)), jnp.asarray(x2.astype(np.float32)),
@@ -141,20 +144,22 @@ class LoopCloser:
         S21 = (float(res.s), np.asarray(res.R), np.asarray(res.t))
 
         # projection confirmation: map kf2's local points into kf1 via S21⁻¹
-        nproj = self._count_projected_matches(kf1, kf2, S21)
+        nproj = self._count_projected_matches(kf1, kf2, S21, map1=m, map2=m2)
         if nproj < 40:   # reference nProjMatches=50 with guided search
             return False, None
         return True, S21
 
-    def _count_projected_matches(self, kf1: int, kf2: int, S21) -> int:
-        m = self.map
+    def _count_projected_matches(self, kf1: int, kf2: int, S21,
+                                 map1=None, map2=None) -> int:
+        m = map1 if map1 is not None else self.map
+        m2 = map2 if map2 is not None else self.map
         s, R, t = S21
-        locals2 = m.local_map_points(np.concatenate(
-            [[kf2], m.best_covisible(kf2, 5, min_weight=15)]).astype(np.int32))
+        locals2 = m2.local_map_points(np.concatenate(
+            [[kf2], m2.best_covisible(kf2, 5, min_weight=15)]).astype(np.int32))
         if len(locals2) == 0:
             return 0
         # world → kf2 cam → (S21⁻¹) → kf1 cam
-        xc2 = m.mp_xyz[locals2] @ m.kf_R[kf2].T + m.kf_t[kf2]
+        xc2 = m2.mp_xyz[locals2] @ m2.kf_R[kf2].T + m2.kf_t[kf2]
         xc1 = (xc2 - t) @ R / s
         z = xc1[:, 2]
         ok = z > 0.1
@@ -166,7 +171,7 @@ class LoopCloser:
             return 0
         # descriptor match against kf1 features within a window
         dist = np.asarray(matching.hamming_matrix(
-            jnp.asarray(m.mp_desc[locals2]), jnp.asarray(m.kf_feat_desc[kf1])))
+            jnp.asarray(m2.mp_desc[locals2]), jnp.asarray(m.kf_feat_desc[kf1])))
         du = np.abs(u[:, None] - m.kf_feat_xy[kf1][None, :, 0])
         dv = np.abs(v[:, None] - m.kf_feat_xy[kf1][None, :, 1])
         win = (du <= 8.0) & (dv <= 8.0)

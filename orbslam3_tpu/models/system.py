@@ -29,30 +29,144 @@ class SlamSystem:
         self.map_cfg = map_cfg or MapConfig(n_features=cap)
         if self.map_cfg.n_features != cap:
             self.map_cfg.n_features = cap
-        self.map = MapState(self.map_cfg)
-        self.tracker = Tracker(K, D, wh, self.orb_cfg, self.map,
+        from .atlas import Atlas
+        self.atlas = Atlas(self.map_cfg)
+        self._K = np.asarray(K, np.float32)
+        self._wh = wh
+        self._bf = float(bf)
+        self._enable_lc = enable_loop_closing
+        self.tracker = Tracker(K, D, wh, self.orb_cfg, self.atlas.current,
                                params=tracking_params, seed=seed,
                                bf=bf, th_depth=th_depth)
-        self.mapper = LocalMapper(self.map, K, self.orb_cfg, wh=wh)
-        self.mapper.bf = float(bf)
+        self._bind_map(self.atlas.current)
+        self.tracker.on_tracking_lost = self._on_tracking_lost
+        self.tracker.try_cross_map_reloc = self._try_cross_map_reloc
+        self.frame_times: list[float] = []
+
+    @property
+    def map(self) -> 'MapState':
+        return self.atlas.current
+
+    def _bind_map(self, m):
+        """(Re)bind mapper/loop-closer/tracker to the active atlas map."""
+        self.tracker.map = m
+        self.mapper = LocalMapper(m, self._K, self.orb_cfg, wh=self._wh)
+        self.mapper.bf = self._bf
         self.loop_closer = None
-        if enable_loop_closing:
+        if self._enable_lc:
             from .loop_closing import LoopCloser
-            self.loop_closer = LoopCloser(self.map, K, wh, fix_scale=bf > 0)
+            self.loop_closer = LoopCloser(m, self._K, self._wh,
+                                          fix_scale=self._bf > 0)
 
         def on_kf(kf_id, initial=False):
             self.mapper.process_keyframe(kf_id, initial=initial)
             if self.loop_closer is not None and not initial:
                 self.loop_closer.process_keyframe(kf_id)
+            if len(self.atlas.maps) > 1:
+                self._check_map_merge(kf_id)
 
         self.tracker.on_new_keyframe = on_kf
-        self.frame_times: list[float] = []
+
+    def _on_tracking_lost(self):
+        """Sustained loss: spawn a fresh sub-map (reference CreateMapInAtlas)
+        unless the current map is too small to keep (reference resets it)."""
+        cur = self.atlas.current
+        if cur.n_kf >= 10:
+            new_map = self.atlas.create_new_map()
+        else:
+            # reset-in-place: wipe the young map
+            idx = self.atlas.current_idx
+            from .map import MapState
+            self.atlas.maps[idx] = MapState(self.map_cfg, map_id=cur.map_id)
+            new_map = self.atlas.maps[idx]
+        self._bind_map(new_map)
+        self.tracker.reset_for_new_map(new_map)
+
+    def _check_map_merge(self, kf_id: int) -> bool:
+        """Cross-map place recognition at keyframe rate (reference
+        NewDetectCommonRegions merge branch → MergeLocal2): verify the new KF
+        against stored maps' keyframes; success triggers an Atlas merge with
+        the Sim3 from the verification."""
+        from .loop_closing import LoopCloser
+        cur = self.atlas.current
+        closer = self.loop_closer
+        if closer is None:
+            closer = LoopCloser(cur, self._K, self._wh, fix_scale=self._bf > 0)
+        for old in self.atlas.stored_maps():
+            for k2 in old.valid_kf_ids()[::-1][:10]:
+                ok, S21 = closer._verify_candidate(kf_id, int(k2),
+                                                   map1=cur, map2=old)
+                if not ok:
+                    continue
+                # S21: x_kf2 = s R x_kf1 + t (camera frames). World alignment:
+                # W_old = T_kf2⁻¹ ∘ S21 ∘ T_kf1 (W_cur)
+                s, R21, t21 = S21
+                R1, t1 = cur.kf_R[kf_id], cur.kf_t[kf_id]
+                R2, t2 = old.kf_R[int(k2)], old.kf_t[int(k2)]
+                R_a = R2.T @ R21 @ R1
+                t_a = R2.T @ (s * (R21 @ t1) + t21 - t2)
+                self.atlas.merge_current_into(old, R_a.astype(np.float32),
+                                              t_a.astype(np.float32),
+                                              s_align=float(s))
+                self._bind_map(self.atlas.current)
+                self.tracker.map = self.atlas.current
+                # remap the live frame pose into the merged world
+                lf = self.tracker.last_frame
+                if lf is not None and lf.R is not None:
+                    R_new = lf.R @ R_a.T
+                    t_new = float(s) * lf.t - R_new @ t_a
+                    lf.R, lf.t = R_new.astype(np.float32), t_new.astype(np.float32)
+                self.tracker.ref_kf = int(old.valid_kf_ids()[-1])
+                return True
+        return False
+
+    def _try_cross_map_reloc(self, frame) -> bool:
+        """Relocalize into a stored map; success merges the current map into it
+        (reference merge branch, MergeLocal2-style rigid alignment)."""
+        tr = self.tracker
+        # approximate pose of this frame in the CURRENT map (last tracked)
+        R_cur = t_cur = None
+        if tr.last_frame is not None and tr.last_frame.R is not None:
+            R_cur, t_cur = tr.last_frame.R.copy(), tr.last_frame.t.copy()
+        for old in self.atlas.stored_maps():
+            if tr._relocalize(frame, in_map=old):
+                cur = self.atlas.current
+                if cur.n_kf >= 2 and R_cur is not None:
+                    # alignment world_old ← world_cur from the dual pose:
+                    # R_a = R_oldᵀ R_cur, t_a = R_oldᵀ (t_cur − t_old)
+                    R_a = frame.R.T @ R_cur
+                    t_a = frame.R.T @ (t_cur - frame.t)
+                    self.atlas.merge_current_into(old, R_a.astype(np.float32),
+                                                  t_a.astype(np.float32))
+                else:
+                    self.atlas.current_idx = self.atlas.maps.index(old)
+                self._bind_map(self.atlas.current)
+                tr.map = self.atlas.current
+                tr.state = TrackState.OK
+                return True
+        return False
 
     def track_monocular(self, img: np.ndarray, ts: float) -> dict:
         t0 = time.perf_counter()
         info = self.tracker.process_frame(img, ts)
         self.frame_times.append(time.perf_counter() - t0)
         return info
+
+    def enable_imu(self, freq: float = 200.0, noise=(1.7e-4, 2e-3, 1e-5, 1e-4)):
+        """Switch to visual-inertial mode (reference IMU_MONOCULAR/IMU_STEREO)."""
+        self.tracker.enable_imu(freq=freq, noise=noise)
+
+    def track_monocular_inertial(self, img: np.ndarray, ts: float,
+                                 imu_ts, imu_gyro, imu_acc) -> dict:
+        """Monocular-inertial step: queue IMU samples since the last frame,
+        then track (reference System::TrackMonocular with vImuMeas)."""
+        self.tracker.grab_imu(imu_ts, imu_gyro, imu_acc)
+        return self.track_monocular(img, ts)
+
+    def track_stereo_inertial(self, img_l, img_r, ts: float,
+                              imu_ts, imu_gyro, imu_acc) -> dict:
+        self.tracker.grab_imu(imu_ts, imu_gyro, imu_acc)
+        return self.track_stereo(img_l, img_r, ts)
 
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float) -> dict:
         t0 = time.perf_counter()
@@ -76,7 +190,8 @@ class SlamSystem:
         return self.tracker.export_trajectory()
 
     def save_trajectory_tum(self, path: str):
-        """TUM format: ts tx ty tz qx qy qz qw (reference SaveTrajectoryTUM)."""
+        """TUM format: ts tx ty tz qx qy qz qw (reference SaveTrajectoryTUM
+        src/System.cc:457)."""
         import jax.numpy as jnp
         from ..ops import lie
         ts, R_wc, t_wc, lost = self.export_trajectory()
@@ -85,6 +200,27 @@ class SlamSystem:
             for i in range(len(ts)):
                 f.write(f"{ts[i]:.6f} " + " ".join(f"{v:.7f}" for v in t_wc[i])
                         + " " + " ".join(f"{v:.7f}" for v in q[i]) + "\n")
+
+    def save_trajectory_euroc(self, path: str):
+        """EuRoC format: ts_ns tx ty tz qw qx qy qz (reference
+        SaveTrajectoryEuRoC src/System.cc:550)."""
+        import jax.numpy as jnp
+        from ..ops import lie
+        ts, R_wc, t_wc, lost = self.export_trajectory()
+        q = np.asarray(lie.quat_from_mat(jnp.asarray(R_wc)))  # (x,y,z,w)
+        with open(path, "w") as f:
+            for i in range(len(ts)):
+                f.write(f"{ts[i]*1e9:.0f} " + " ".join(f"{v:.9f}" for v in t_wc[i])
+                        + f" {q[i,3]:.9f} {q[i,0]:.9f} {q[i,1]:.9f} {q[i,2]:.9f}\n")
+
+    def save_trajectory_kitti(self, path: str):
+        """KITTI format: 12 values of the 3x4 [R|t] world←camera matrix per line
+        (reference SaveTrajectoryKITTI src/System.cc:700)."""
+        ts, R_wc, t_wc, lost = self.export_trajectory()
+        with open(path, "w") as f:
+            for i in range(len(ts)):
+                M = np.concatenate([R_wc[i], t_wc[i][:, None]], axis=1)
+                f.write(" ".join(f"{v:.9e}" for v in M.reshape(-1)) + "\n")
 
     def stats(self) -> dict:
         ft = np.array(self.frame_times) if self.frame_times else np.zeros(1)

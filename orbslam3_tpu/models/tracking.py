@@ -93,6 +93,20 @@ class Tracker:
         self.pose_opt = kernels.pose_opt_kernel(cam_type=0)
         self.proj_match = kernels.projection_matcher(0, orb_cfg.n_levels, orb_cfg.scale)
 
+        # --- IMU state (visual-inertial mode; reference src/Tracking.cc IMU
+        # queue :1450, PreintegrateIMU :1457, PredictStateIMU :1616) ---
+        self.imu_enabled = False
+        self.imu_freq = 200.0
+        self.imu_noise = (1.7e-4, 2e-3, 1e-5, 1e-4)  # (gyro, acc, gyro walk, acc walk)
+        self.imu_queue: list = []       # (ts, gyro(3), acc(3)) tuples
+        self.imu_initialized = False
+        self.imu_bias_g = np.zeros(3, np.float32)
+        self.imu_bias_a = np.zeros(3, np.float32)
+        self.velocity_w: np.ndarray | None = None   # body velocity in world
+        self.kf_preints: dict = {}       # kf_id -> PreintState since previous KF
+        self.preint_since_kf = None
+        self.frame_preint = None
+
         self.init_frame: Frame | None = None
         self.last_frame: Frame | None = None
         self.velocity: tuple[np.ndarray, np.ndarray] | None = None  # T_cl
@@ -100,6 +114,13 @@ class Tracker:
         self.last_kf_frame_id: int = -1
         self.frames_since_reloc = 0
         self.n_frames = 0
+        # Atlas hooks (set by the system): called when tracking stays lost
+        # (reference CreateMapInAtlas src/Tracking.cc:2914) and for cross-map
+        # relocalization that triggers a map merge
+        self.on_tracking_lost = None
+        self.try_cross_map_reloc = None
+        self.consecutive_lost = 0
+        self.frames_to_new_map = 20   # ≈1 s at 20 fps (reference 5 s)
         # per-frame trajectory log: (ts, ref_kf, R_cr, t_cr, lost)
         self.trajectory: list = []
         # callback the system wires to local mapping
@@ -109,9 +130,182 @@ class Tracker:
         self.inv_sigma2 = self.map.inv_level_sigma2
 
     # ------------------------------------------------------------------
+    # IMU (visual-inertial)
+    # ------------------------------------------------------------------
+    def enable_imu(self, freq: float = 200.0,
+                   noise=(1.7e-4, 2e-3, 1e-5, 1e-4)):
+        self.imu_enabled = True
+        self.imu_freq = freq
+        self.imu_noise = noise
+
+    def grab_imu(self, ts, gyro, acc):
+        """Queue IMU samples (reference Tracking::GrabImuData src/Tracking.cc:1450)."""
+        for t, w, a in zip(np.atleast_1d(ts), np.atleast_2d(gyro), np.atleast_2d(acc)):
+            self.imu_queue.append((float(t), np.asarray(w, np.float32),
+                                   np.asarray(a, np.float32)))
+
+    def _preintegrate_frame(self, ts_prev: float, ts_cur: float, cap: int = 128):
+        """Preintegrate queued samples in (ts_prev, ts_cur] (reference
+        PreintegrateIMU :1457); returns a PreintState or None."""
+        import jax.numpy as jnp
+        from ..ops import imu as imu_ops
+        eps = 1e-6  # float timestamp jitter must not drop boundary samples
+        take = [s for s in self.imu_queue if ts_prev + eps < s[0] <= ts_cur + eps]
+        self.imu_queue = [s for s in self.imu_queue if s[0] > ts_cur + eps]
+        if not take:
+            return None
+        n = min(len(take), cap)
+        acc = np.zeros((cap, 3), np.float32)
+        gyr = np.zeros((cap, 3), np.float32)
+        dts = np.zeros(cap, np.float32)
+        valid = np.zeros(cap, bool)
+        t_last = ts_prev
+        for i, (t, w, a) in enumerate(take[:n]):
+            gyr[i] = w
+            acc[i] = a
+            dts[i] = t - t_last
+            valid[i] = True
+            t_last = t
+        ng, na, wg, wa = self.imu_noise
+        st = imu_ops.preintegrate(
+            jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
+            jnp.asarray(valid), jnp.asarray(self.imu_bias_g),
+            jnp.asarray(self.imu_bias_a), ng, na, wg, wa, self.imu_freq)
+        return st
+
+    def _accumulate_preint(self, st):
+        """Accumulate per-frame preintegration into the since-last-KF block by
+        composition (ΔR/ΔV/ΔP chain; covariance/Jacobian composition follows
+        the same update structure)."""
+        import jax.numpy as jnp
+        from ..ops import imu as imu_ops
+        if st is None:
+            return
+        if self.preint_since_kf is None:
+            self.preint_since_kf = st
+            return
+        a = self.preint_since_kf
+        b = st
+        dR = np.asarray(a.dR) @ np.asarray(b.dR)
+        dV = np.asarray(a.dV) + np.asarray(a.dR) @ np.asarray(b.dV)
+        dP = (np.asarray(a.dP) + np.asarray(a.dV) * float(b.dT)
+              + np.asarray(a.dR) @ np.asarray(b.dP))
+        JRg = np.asarray(b.dR).T @ np.asarray(a.JRg) + np.asarray(b.JRg)
+        JVg = np.asarray(a.JVg) + np.asarray(a.dR) @ np.asarray(b.JVg)  # approx (dR-coupling term dropped)
+        JVa = np.asarray(a.JVa) + np.asarray(a.dR) @ np.asarray(b.JVa)
+        JPg = (np.asarray(a.JPg) + np.asarray(a.JVg) * float(b.dT)
+               + np.asarray(a.dR) @ np.asarray(b.JPg))
+        JPa = (np.asarray(a.JPa) + np.asarray(a.JVa) * float(b.dT)
+               + np.asarray(a.dR) @ np.asarray(b.JPa))
+        C = np.asarray(a.C) + np.asarray(b.C)   # conservative upper bound
+        self.preint_since_kf = type(a)(
+            dR=jnp.asarray(dR), dV=jnp.asarray(dV), dP=jnp.asarray(dP),
+            JRg=jnp.asarray(JRg), JVg=jnp.asarray(JVg), JVa=jnp.asarray(JVa),
+            JPg=jnp.asarray(JPg), JPa=jnp.asarray(JPa), C=jnp.asarray(C),
+            dT=a.dT + b.dT, bias_g=a.bias_g, bias_a=a.bias_a)
+
+    def _predict_pose_imu(self, frame: Frame) -> bool:
+        """IMU state propagation as pose prediction (reference PredictStateIMU)."""
+        from ..ops import imu as imu_ops
+        import jax.numpy as jnp
+        if (self.frame_preint is None or self.last_frame is None
+                or not self.last_frame.tracked or self.velocity_w is None):
+            return False
+        Rl, tl = self.last_frame.R, self.last_frame.t
+        R_wb = Rl.T
+        p_wb = -Rl.T @ tl
+        R2, p2, v2 = imu_ops.predict_state(
+            jnp.asarray(R_wb), jnp.asarray(p_wb), jnp.asarray(self.velocity_w),
+            self.frame_preint, jnp.asarray(self.imu_bias_g),
+            jnp.asarray(self.imu_bias_a))
+        R2 = np.asarray(R2); p2 = np.asarray(p2)
+        frame.R = R2.T.astype(np.float32)
+        frame.t = (-R2.T @ p2).astype(np.float32)
+        return True
+
+    def try_imu_init(self, min_kfs: int = 8) -> bool:
+        """Inertial-only init: gravity + scale + biases (reference InitializeIMU
+        src/LocalMapping.cc:1559 stage 1). Gravity-aligns and rescales the map."""
+        import jax.numpy as jnp
+        from ..ops import imu_init as ii
+        m = self.map
+        if self.imu_initialized or not self.imu_enabled:
+            return False
+        from ..ops import imu as imu_ops
+        kfs = [int(k) for k in m.valid_kf_ids()]
+        chain0 = [k for k in kfs if k in self.kf_preints or k == kfs[0]]
+        if len(chain0) < min_kfs:
+            return False
+        # contiguity: a chain link is usable only when its preintegration
+        # window matches the KF time gap
+        contig = [True] * len(chain0)
+        for i in range(1, len(chain0)):
+            dt_kf = float(m.kf_ts[chain0[i]] - m.kf_ts[chain0[i - 1]])
+            contig[i] = abs(float(self.kf_preints[chain0[i]].dT) - dt_kf) < 0.015
+        # subsample to >=0.25 s spacing, composing preintegrations across the
+        # skipped keyframes — short pairs bury the gravity/scale signal
+        # (½g·dT² ≈ 1 cm at 0.05 s) under visual noise (reference edges span
+        # its much sparser inertial keyframes)
+        chain, pre = [chain0[0]], []
+        acc_pre = None
+        for i in range(1, len(chain0)):
+            if not contig[i]:
+                acc_pre = None
+                chain, pre = [chain0[i]], []   # restart after a gap
+                continue
+            p_i = self.kf_preints[chain0[i]]
+            acc_pre = p_i if acc_pre is None else imu_ops.compose(acc_pre, p_i)
+            if float(acc_pre.dT) >= 0.25 - 1e-6:
+                chain.append(chain0[i])
+                pre.append(acc_pre)
+                acc_pre = None
+        if len(chain) < 4:
+            return False
+        R_wb = np.stack([m.kf_R[k].T for k in chain])
+        p_wb = np.stack([-m.kf_R[k].T @ m.kf_t[k] for k in chain])
+        pair_ok = np.ones(len(pre), bool)
+        stack = lambda attr: jnp.asarray(np.stack([np.asarray(getattr(s, attr)) for s in pre]))
+        cov = jnp.asarray(np.stack([np.asarray(s.C)[:9, :9] for s in pre]))
+        res = ii.inertial_init(
+            jnp.asarray(R_wb.astype(np.float32)), jnp.asarray(p_wb.astype(np.float32)),
+            stack("dT"), stack("dR"), stack("dV"), stack("dP"),
+            stack("JRg"), stack("JVg"), stack("JVa"), stack("JPg"), stack("JPa"),
+            jnp.asarray(pair_ok), cov=cov,
+            opt_scale=(self.bf <= 0), iters=40,
+            prior_g=1e2, prior_a=1e10 if self.bf <= 0 else 1e5)
+        s = float(res.scale)
+        if not (0.02 < s < 50.0) or not np.isfinite(s):
+            return False
+        Rwg = np.asarray(res.Rwg)
+        # world' = s · Rgw · world with Rgw = Rwg⁻¹ (gravity → -z)
+        from ..ops import imu_init as ii2
+        kfs_all = m.valid_kf_ids()
+        Rn, tn, pn = ii2.apply_scaled_rotation(
+            jnp.asarray(m.kf_R[kfs_all]), jnp.asarray(m.kf_t[kfs_all]),
+            jnp.asarray(m.mp_xyz[m.valid_mp_ids()]),
+            jnp.asarray(Rwg.T), jnp.asarray(s, jnp.float32))
+        m.kf_R[kfs_all] = np.asarray(Rn)
+        m.kf_t[kfs_all] = np.asarray(tn)
+        m.mp_xyz[m.valid_mp_ids()] = np.asarray(pn)
+        # transform the live frame + velocity into the new world
+        if self.last_frame is not None and self.last_frame.R is not None:
+            self.last_frame.R = (self.last_frame.R @ Rwg).astype(np.float32)
+            self.last_frame.t = (self.last_frame.t * s).astype(np.float32)
+        vels = np.asarray(res.vels)
+        self.velocity_w = (s * (Rwg.T @ vels[-1])).astype(np.float32)
+        self.imu_bias_g = np.asarray(res.bg, np.float32)
+        self.imu_bias_a = np.asarray(res.ba, np.float32)
+        self.velocity = None  # const-velocity model invalid across rescale
+        self.imu_initialized = True
+        return True
+
+    # ------------------------------------------------------------------
     def process_frame(self, img: np.ndarray, ts: float) -> dict:
         fid = self.n_frames
         self.n_frames += 1
+        if self.imu_enabled and self.last_frame is not None:
+            self.frame_preint = self._preintegrate_frame(self.last_frame.ts, ts)
+            self._accumulate_preint(self.frame_preint)
         feats = self.extract(jnp.asarray(img))
         frame = build_frame(fid, ts, feats, self.K, self.D)
 
@@ -360,6 +554,9 @@ class Tracker:
         self.ref_kf = k1
         self.last_kf_frame_id = f1.frame_id
         self.velocity = None
+        # discard IMU accumulated before the map existed (reference resets the
+        # from-last-KF preintegrator at initialization, src/Tracking.cc:2504)
+        self.preint_since_kf = None
         self.state = TrackState.OK
 
     def _rand_sets(self, valid_idx: np.ndarray, iters: int, k: int) -> np.ndarray:
@@ -373,7 +570,10 @@ class Tracker:
     def _track(self, frame: Frame) -> bool:
         ok = False
         if self.state == TrackState.OK:
-            if self.velocity is not None and self.last_frame is not None:
+            if (self.imu_initialized
+                    and self._predict_pose_imu(frame)):
+                ok = self._track_with_prediction(frame)
+            if not ok and self.velocity is not None and self.last_frame is not None:
                 ok = self._track_motion_model(frame)
             if not ok:
                 ok = self._track_reference_kf(frame)
@@ -382,6 +582,10 @@ class Tracker:
             # src/Tracking.cc:4153; candidate source here is recency until the
             # keyframe database lands)
             ok = self._relocalize(frame)
+            if not ok and self.try_cross_map_reloc is not None:
+                # relocalizing into a STORED map triggers a map merge
+                # (reference NewDetectCommonRegions merge branch)
+                ok = self.try_cross_map_reloc(frame)
 
         if ok:
             ok = self._track_local_map(frame)
@@ -389,6 +593,14 @@ class Tracker:
         if ok:
             self.state = TrackState.OK
             frame.tracked = True
+            # world body-velocity estimate for IMU prediction
+            if (self.imu_enabled and self.last_frame is not None
+                    and self.last_frame.tracked and self.last_frame.R is not None):
+                dt = frame.ts - self.last_frame.ts
+                if dt > 1e-6:
+                    c_now = -frame.R.T @ frame.t
+                    c_last = -self.last_frame.R.T @ self.last_frame.t
+                    self.velocity_w = ((c_now - c_last) / dt).astype(np.float32)
             # motion model T_cl = T_cw ∘ inv(T_lw) — only from a trustworthy
             # last pose (after a loss gap the reference clears mVelocity too)
             if (self.last_frame is not None and self.last_frame.tracked
@@ -402,13 +614,30 @@ class Tracker:
                 self.velocity = None
             if self._need_new_keyframe(frame):
                 self._create_new_keyframe(frame)
+            self.consecutive_lost = 0
         else:
             self.velocity = None
             if self.map.n_kf > 10:
                 self.state = TrackState.RECENTLY_LOST
             else:
                 self.state = TrackState.LOST
+            self.consecutive_lost += 1
+            if (self.consecutive_lost >= self.frames_to_new_map
+                    and self.on_tracking_lost is not None):
+                self.on_tracking_lost()
+                self.consecutive_lost = 0
         return ok
+
+    def reset_for_new_map(self, new_map: MapState):
+        """Re-point the tracker at a fresh (or merged) map."""
+        self.map = new_map
+        self.state = (TrackState.NOT_INITIALIZED if new_map.n_kf == 0
+                      else TrackState.RECENTLY_LOST)
+        self.init_frame = None
+        self.velocity = None
+        self.ref_kf = int(new_map.valid_kf_ids()[-1]) if new_map.n_kf else -1
+        self.kf_preints = {}
+        self.preint_since_kf = None
 
     def _predict_pose(self, frame: Frame):
         Rv, tv = self.velocity
@@ -464,11 +693,12 @@ class Tracker:
             self.map.mp_visible[ids[vis]] += 1
         return len(sel)
 
-    def _optimize_frame_pose(self, frame: Frame) -> int:
+    def _optimize_frame_pose(self, frame: Frame, in_map: MapState | None = None) -> int:
+        m = in_map if in_map is not None else self.map
         matched = frame.feat_mp >= 0
         mp = frame.feat_mp.copy()
         pts = np.zeros((len(mp), 3), np.float32)
-        pts[matched] = self.map.mp_xyz[mp[matched]]
+        pts[matched] = m.mp_xyz[mp[matched]]
         inv_s2 = self.inv_sigma2[frame.octave]
         res = self.pose_opt(
             jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pts),
@@ -481,6 +711,24 @@ class Tracker:
         # clear outlier assignments (reference discards them after PoseOptimization)
         frame.feat_mp[matched & ~inl] = -1
         return int(inl.sum())
+
+    def _track_with_prediction(self, frame: Frame) -> bool:
+        """Track against last-frame points from an already-set predicted pose
+        (IMU prediction path — reference TrackWithMotionModel with
+        PredictStateIMU)."""
+        p = self.p
+        last_mps = self.last_frame.feat_mp
+        mp_ids = np.unique(last_mps[last_mps >= 0])
+        mp_ids = mp_ids[self.map.mp_valid[mp_ids]]
+        if len(mp_ids) == 0:
+            return False
+        cap = self.orb_cfg.total_capacity
+        n = self._project_and_assign(frame, mp_ids, cap, p.motion_radius,
+                                     p.motion_ratio, p.th_high)
+        if n < p.min_motion_matches:
+            return False
+        inl = self._optimize_frame_pose(frame)
+        return inl >= p.min_motion_inliers
 
     def _track_motion_model(self, frame: Frame) -> bool:
         p = self.p
@@ -527,13 +775,14 @@ class Tracker:
         inl = self._optimize_frame_pose(frame)
         return inl >= p.min_motion_inliers
 
-    def _relocalize(self, frame: Frame, n_candidates: int = 8) -> bool:
+    def _relocalize(self, frame: Frame, n_candidates: int = 8,
+                    in_map: MapState | None = None) -> bool:
         """Try recent KFs as relocalization anchors: descriptor-match the KF's
         map-point features to the frame (ratio 0.75 like the reference's reloc
         BoW stage), then pose-optimize from the KF pose; accept >= min inliers."""
         from ..ops import matching as match_ops
         import jax.numpy as jnp
-        m = self.map
+        m = in_map if in_map is not None else self.map
         cands = m.valid_kf_ids()[::-1][:n_candidates]
         for k in cands:
             k = int(k)
@@ -553,7 +802,7 @@ class Tracker:
             frame.feat_mp[idxn[src]] = m.kf_feat_mp[k][src]
             frame.R = m.kf_R[k].copy()
             frame.t = m.kf_t[k].copy()
-            inl = self._optimize_frame_pose(frame)
+            inl = self._optimize_frame_pose(frame, in_map=m)
             if inl >= self.p.min_local_inliers:
                 self.ref_kf = k
                 self.frames_since_reloc = 0
@@ -621,8 +870,13 @@ class Tracker:
         if self.bf > 0:
             self._spawn_close_points(frame, k)
             m.kf_feat_mp[k] = frame.feat_mp
+        if self.imu_enabled and self.preint_since_kf is not None:
+            self.kf_preints[k] = self.preint_since_kf
+            self.preint_since_kf = None
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id
+        if self.imu_enabled and not self.imu_initialized:
+            self.try_imu_init()
         if self.on_new_keyframe is not None:
             self.on_new_keyframe(k, initial=False)
             # NOTE: deliberately do NOT copy the BA-adjusted KF pose back into

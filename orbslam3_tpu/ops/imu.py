@@ -145,6 +145,26 @@ def preintegrate(acc: jax.Array, gyro: jax.Array, dts: jax.Array,
     return s
 
 
+def compose(a: PreintState, b: PreintState) -> PreintState:
+    """Compose consecutive preintegrations (a then b) into one block.
+
+    Mirrors the reference's ``MergePrevious`` used when keyframes are culled
+    (src/LocalMapping.cc KeyFrameCulling inertial branch). The JVg coupling
+    term through dR is first-order approximated; covariance adds (conservative).
+    """
+    dR = a.dR @ b.dR
+    dV = a.dV + a.dR @ b.dV
+    dP = a.dP + a.dV * b.dT + a.dR @ b.dP
+    JRg = b.dR.T @ a.JRg + b.JRg
+    JVg = a.JVg + a.dR @ b.JVg
+    JVa = a.JVa + a.dR @ b.JVa
+    JPg = a.JPg + a.JVg * b.dT + a.dR @ b.JPg
+    JPa = a.JPa + a.JVa * b.dT + a.dR @ b.JPa
+    return PreintState(dR=dR, dV=dV, dP=dP, JRg=JRg, JVg=JVg, JVa=JVa,
+                       JPg=JPg, JPa=JPa, C=a.C + b.C, dT=a.dT + b.dT,
+                       bias_g=a.bias_g, bias_a=a.bias_a)
+
+
 def corrected_delta(s: PreintState, bias_g, bias_a):
     """First-order bias-corrected (dR, dV, dP) (reference GetDeltaRotation/
     Velocity/Position(Bias), src/ImuTypes.cc)."""
