@@ -51,6 +51,7 @@ class LocalMapper:
         self.create_new_map_points(kf_id)
         self.search_in_neighbors(kf_id)
         self.local_ba(kf_id)
+        self.cull_keyframes(kf_id)
 
     def _renormalize_initial_scale(self, kf_id: int):
         """After init BA, re-fix median depth to 1 (the BA may drift the gauge
@@ -240,6 +241,39 @@ class LocalMapper:
                     m.replace_map_points(np.asarray([existing]), np.asarray([mp]))
                 else:
                     m.replace_map_points(np.asarray([mp]), np.asarray([existing]))
+
+    # ------------------------------------------------------------------
+    def cull_keyframes(self, kf_id: int, redundancy: float = 0.9,
+                       max_cull_per_run: int = 2):
+        """Redundant-keyframe culling (reference KeyFrameCulling
+        src/LocalMapping.cc:1218: a covisible KF whose ≥90% of map points are
+        observed by ≥3 other keyframes is removed; the scale-consistency
+        refinement and the inertial temporal-chain protections are later-round
+        items — the first two keyframes are always kept)."""
+        if getattr(self, "preserve_temporal_chain", False):
+            # inertial maps: culling breaks the mPrevKF preintegration chain
+            # (the reference's KeyFrameCulling has dedicated inertial
+            # protections + preintegration merging; until those land, keep all)
+            return
+        m = self.map
+        candidates = [int(k) for k in m.best_covisible(kf_id, 20, min_weight=15)]
+        obs = m.obs_count()
+        n_culled = 0
+        for k in candidates:
+            if k <= 1 or k == kf_id or not m.kf_valid[k]:
+                continue
+            row = m.kf_feat_mp[k]
+            mps = row[row >= 0]
+            mps = mps[m.mp_valid[mps]]
+            if len(mps) < 20:
+                continue
+            redundant = (obs[mps] >= 4).mean()   # self + ≥3 others
+            if redundant > redundancy:
+                m.remove_keyframe(k)
+                self.stats["culled_kf"] = self.stats.get("culled_kf", 0) + 1
+                n_culled += 1
+                if n_culled >= max_cull_per_run:
+                    break
 
     # ------------------------------------------------------------------
     def local_ba(self, kf_id: int, iters: tuple[int, int] = (5, 10)):

@@ -151,56 +151,44 @@ class MapState:
         self.kf_feat_mp[: self.n_kf][sel] = -1
 
     def replace_map_points(self, old_ids: np.ndarray, new_ids: np.ndarray):
-        """Fuse: redirect observations of old→new (reference MapPoint::Replace)."""
+        """Fuse: redirect observations of old→new with per-KF de-duplication
+        (reference MapPoint::Replace). Native C++ kernel (orbslam3_tpu.native)."""
         if len(old_ids) == 0:
             return
+        from .. import native
         lut = np.arange(self.cfg.max_map_points, dtype=np.int32)
         lut[old_ids] = new_ids
         self.mp_valid[old_ids] = False
-        fm = self.kf_feat_mp[: self.n_kf]
-        pos = fm >= 0
-        fm[pos] = lut[fm[pos]]
-        # a KF may now observe the same point twice; keep first occurrence
-        for k in range(self.n_kf):
-            row = self.kf_feat_mp[k]
-            seen = {}
-            dup = np.zeros(len(row), bool)
-            for i, v in enumerate(row):
-                if v >= 0:
-                    if v in seen:
-                        dup[i] = True
-                    else:
-                        seen[v] = i
-            row[dup] = -1
+        native.replace_points(self.kf_feat_mp[: self.n_kf], lut,
+                              self.cfg.max_map_points)
 
     # ------------------------------------------------------------------
     # derived relations
     # ------------------------------------------------------------------
     def observations_of(self, mp_ids: np.ndarray):
-        """(kf_idx, feat_idx) arrays of observations of the given points."""
-        fm = self.kf_feat_mp[: self.n_kf]
-        sel = np.isin(fm, mp_ids) & (fm >= 0) & self.kf_valid[: self.n_kf, None]
-        kf_idx, feat_idx = np.nonzero(sel)
-        return kf_idx.astype(np.int32), feat_idx.astype(np.int32)
+        """(kf_idx, feat_idx) arrays of observations of the given points.
+        Native C++ kernel (orbslam3_tpu.native)."""
+        from .. import native
+        return native.observations_of(
+            self.kf_feat_mp[: self.n_kf], self.kf_valid[: self.n_kf],
+            np.asarray(mp_ids, np.int64), self.cfg.max_map_points)
 
     def obs_count(self, mp_ids: np.ndarray | None = None) -> np.ndarray:
         """Number of (valid-KF) observations per map point."""
-        fm = self.kf_feat_mp[: self.n_kf][self.kf_valid[: self.n_kf]]
-        cnt = np.bincount(fm[fm >= 0], minlength=self.cfg.max_map_points)
+        from .. import native
+        cnt = native.obs_counts(self.kf_feat_mp[: self.n_kf],
+                                self.kf_valid[: self.n_kf],
+                                self.cfg.max_map_points)
         return cnt if mp_ids is None else cnt[mp_ids]
 
     def covisibility_row(self, kf_id: int) -> np.ndarray:
         """Shared-map-point counts between kf_id and every other KF (the
-        reference's covisibility weights, threshold 15 at src/KeyFrame.cc:524)."""
-        mps = self.kf_feat_mp[kf_id]
-        mps = mps[mps >= 0]
-        if len(mps) == 0:
-            return np.zeros(self.n_kf, np.int32)
-        fm = self.kf_feat_mp[: self.n_kf]
-        shared = np.isin(fm, mps).sum(axis=1).astype(np.int32)
-        shared[kf_id] = 0
-        shared[~self.kf_valid[: self.n_kf]] = 0
-        return shared
+        reference's covisibility weights, threshold 15 at src/KeyFrame.cc:524).
+        Native C++ kernel (orbslam3_tpu.native)."""
+        from .. import native
+        return native.covisibility_row(
+            self.kf_feat_mp[: self.n_kf], self.kf_valid[: self.n_kf],
+            int(kf_id), self.cfg.max_map_points)
 
     def best_covisible(self, kf_id: int, n: int, min_weight: int = 15) -> np.ndarray:
         w = self.covisibility_row(kf_id)

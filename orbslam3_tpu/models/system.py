@@ -52,6 +52,8 @@ class SlamSystem:
         self.tracker.map = m
         self.mapper = LocalMapper(m, self._K, self.orb_cfg, wh=self._wh)
         self.mapper.bf = self._bf
+        self.mapper.preserve_temporal_chain = getattr(
+            self.tracker, "imu_enabled", False)
         self.loop_closer = None
         if self._enable_lc:
             from .loop_closing import LoopCloser
@@ -155,6 +157,7 @@ class SlamSystem:
     def enable_imu(self, freq: float = 200.0, noise=(1.7e-4, 2e-3, 1e-5, 1e-4)):
         """Switch to visual-inertial mode (reference IMU_MONOCULAR/IMU_STEREO)."""
         self.tracker.enable_imu(freq=freq, noise=noise)
+        self.mapper.preserve_temporal_chain = True
 
     def track_monocular_inertial(self, img: np.ndarray, ts: float,
                                  imu_ts, imu_gyro, imu_acc) -> dict:
