@@ -17,12 +17,21 @@ import numpy as np
 
 
 def main():
+    import os
+    import sys
     import jax
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
-        # axon backend can fail transiently (tunnel); fall back to CPU so the
-        # bench always produces its JSON line
+        # The axon TPU claim happens once at interpreter start (sitecustomize)
+        # and fails transiently under tunnel grant contention — retrying
+        # in-process cannot help, so re-exec the whole interpreter a few
+        # times before falling back to CPU (the JSON line must always print).
+        tries = int(os.environ.get("BENCH_TPU_RETRY", "0"))
+        if tries < 3:
+            time.sleep(30)
+            os.environ["BENCH_TPU_RETRY"] = str(tries + 1)
+            os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
         jax.config.update("jax_platforms", "cpu")
         platform = jax.devices()[0].platform
     import jax.numpy as jnp

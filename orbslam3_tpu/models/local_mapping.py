@@ -364,6 +364,67 @@ class LocalMapper:
             m.kf_feat_mp[o_src_kf[bad], o_src_feat[bad]] = -1
         self.stats["ba_runs"] += 1
 
+    def global_ba(self, iters: tuple[int, int] = (4, 6)):
+        """Full-map BA (reference GlobalBundleAdjustemnt, run after loop
+        closure with 10 iterations, src/LoopClosing.cc:2598; synchronous here —
+        the reference's interruptible background-thread version is roadmap)."""
+        m = self.map
+        kfs = [int(k) for k in m.valid_kf_ids()]
+        if len(kfs) < 3:
+            return
+        pts = m.valid_mp_ids()[: self.ba_point_cap]
+        kf_idx, feat_idx = m.observations_of(pts)
+        obs_mp_global = m.kf_feat_mp[kf_idx, feat_idx]
+        kf_lut = np.full(m.cfg.max_keyframes, -1, np.int32)
+        kf_lut[np.asarray(kfs)] = np.arange(len(kfs))
+        mp_lut = np.full(m.cfg.max_map_points, -1, np.int32)
+        mp_lut[pts] = np.arange(len(pts))
+        sel = (kf_lut[kf_idx] >= 0) & (mp_lut[obs_mp_global] >= 0)
+        o_kf = kf_lut[kf_idx[sel]]
+        o_mp = mp_lut[obs_mp_global[sel]]
+        o_uv = m.kf_feat_xy[kf_idx[sel], feat_idx[sel]]
+        o_ur = m.kf_feat_ur[kf_idx[sel], feat_idx[sel]]
+        o_is2 = m.inv_level_sigma2[m.kf_feat_octave[kf_idx[sel], feat_idx[sel]]]
+
+        Kb = self._bucket(len(kfs), [16, 32, 64, 96, 128])
+        Pb = self._bucket(len(pts), [1024, 2048, 4096])
+        Ob = self._bucket(len(o_kf), [4096, 8192, 16384, 32768, 65536])
+        if Kb is None or Pb is None or Ob is None:
+            return
+
+        def pad(a, n, fill=0):
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        eye_pad = np.zeros((Kb, 3, 3), np.float32)
+        eye_pad[:] = np.eye(3)
+        eye_pad[: len(kfs)] = m.kf_R[kfs]
+        fixed_mask = np.zeros(len(kfs), bool)
+        fixed_mask[:2] = True
+        prob = ba_ops.BAProblem(
+            R=jnp.asarray(eye_pad),
+            t=jnp.asarray(pad(m.kf_t[kfs], Kb)),
+            pts=jnp.asarray(pad(m.mp_xyz[pts], Pb)),
+            obs_kf=jnp.asarray(pad(o_kf.astype(np.int32), Ob)),
+            obs_mp=jnp.asarray(pad(o_mp.astype(np.int32), Ob)),
+            obs_uv=jnp.asarray(pad(o_uv.astype(np.float32), Ob)),
+            obs_inv_sigma2=jnp.asarray(pad(o_is2.astype(np.float32), Ob, 1.0)),
+            obs_valid=jnp.asarray(pad(np.ones(len(o_kf), bool), Ob, False)),
+            fixed_pose=jnp.asarray(pad(fixed_mask, Kb, True)),
+            obs_ur=jnp.asarray(pad(o_ur.astype(np.float32), Ob, -1.0)),
+            bf=jnp.asarray(self.bf, jnp.float32),
+        )
+        res = self._run_ba(prob, iters)
+        Rn = np.asarray(res.R)[: len(kfs)]
+        tn = np.asarray(res.t)[: len(kfs)]
+        for i, k in enumerate(kfs):
+            if not fixed_mask[i]:
+                m.kf_R[k] = Rn[i]
+                m.kf_t[k] = tn[i]
+        m.mp_xyz[pts] = np.asarray(res.pts)[: len(pts)]
+        self.stats["gba_runs"] = self.stats.get("gba_runs", 0) + 1
+
     def _run_ba(self, prob, iters):
         if self._ba_jit is None:
             import functools

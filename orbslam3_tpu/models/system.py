@@ -63,7 +63,10 @@ class SlamSystem:
         def on_kf(kf_id, initial=False):
             self.mapper.process_keyframe(kf_id, initial=initial)
             if self.loop_closer is not None and not initial:
-                self.loop_closer.process_keyframe(kf_id)
+                if self.loop_closer.process_keyframe(kf_id):
+                    # loop corrected → full BA (reference RunGlobalBundleAdjustment
+                    # after CorrectLoop, src/LoopClosing.cc:2587)
+                    self.mapper.global_ba()
             if len(self.atlas.maps) > 1:
                 self._check_map_merge(kf_id)
 

@@ -800,8 +800,25 @@ class Tracker:
             frame.feat_mp[:] = -1
             src = np.nonzero(okn)[0]
             frame.feat_mp[idxn[src]] = m.kf_feat_mp[k][src]
+            # PnP RANSAC for the initial pose (reference uses MLPnP RANSAC,
+            # src/Tracking.cc:4216; the KF's own pose is the fallback seed)
             frame.R = m.kf_R[k].copy()
             frame.t = m.kf_t[k].copy()
+            matched = np.nonzero(frame.feat_mp >= 0)[0]
+            if len(matched) >= 10:
+                from ..ops import camera as cam_ops, pnp as pnp_ops
+                xw = m.mp_xyz[frame.feat_mp[matched]]
+                rays = np.asarray(cam_ops.pinhole_unproject(
+                    jnp.asarray(self.K), jnp.asarray(frame.xy[matched])))
+                rand = self.rng.integers(0, len(matched), (128, 6)).astype(np.int32)
+                res = pnp_ops.pnp_ransac(
+                    jnp.asarray(xw.astype(np.float32)), jnp.asarray(rays),
+                    jnp.ones(len(matched), bool), jnp.asarray(rand),
+                    jnp.asarray(self.inv_sigma2[frame.octave[matched]], jnp.float32),
+                    focal=float(self.K[0]))
+                if bool(res.success):
+                    frame.R = np.asarray(res.R)
+                    frame.t = np.asarray(res.t)
             inl = self._optimize_frame_pose(frame, in_map=m)
             if inl >= self.p.min_local_inliers:
                 self.ref_kf = k
