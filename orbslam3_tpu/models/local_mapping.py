@@ -22,7 +22,8 @@ from .map import MapState
 class LocalMapper:
     def __init__(self, map_state: MapState, K: np.ndarray, orb_cfg,
                  wh=(752, 480), ba_window: int = 16, ba_max_fixed: int = 8,
-                 ba_point_cap: int = 4096, ba_obs_cap: int = 16384):
+                 ba_point_cap: int = 4096, ba_obs_cap: int = 16384,
+                 cam_type: int = 0):
         self.map = map_state
         self.K = np.asarray(K, np.float32)
         self.wh = np.asarray(wh, np.float32)
@@ -32,7 +33,9 @@ class LocalMapper:
         self.ba_max_fixed = ba_max_fixed
         self.ba_point_cap = ba_point_cap
         self.ba_obs_cap = ba_obs_cap
-        self.tri_match = kernels.triangulation_matcher(0, orb_cfg.n_levels, orb_cfg.scale)
+        self.cam_type = int(cam_type)
+        self.tri_match = kernels.triangulation_matcher(
+            self.cam_type, orb_cfg.n_levels, orb_cfg.scale)
         self._ba_jit = None
         self.recent_mp: list[tuple[int, np.ndarray]] = []  # (created_at_kf, ids)
         self.stats = {"triangulated": 0, "culled_mp": 0, "ba_runs": 0}
@@ -176,7 +179,7 @@ class LocalMapper:
         m = self.map
         if not hasattr(self, "_fuse_match"):
             self._fuse_match = kernels.projection_matcher(
-                0, self.orb_cfg.n_levels, self.orb_cfg.scale)
+                self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale)
         neighbors = [int(k) for k in m.best_covisible(kf_id, n_neighbors, min_weight=15)]
         if not neighbors:
             return
@@ -430,7 +433,8 @@ class LocalMapper:
             import functools
             import jax
             self._ba_jit = jax.jit(
-                functools.partial(ba_ops.local_ba, cam_type=0, chi2_th=ba_ops.CHI2_MONO),
+                functools.partial(ba_ops.local_ba, cam_type=self.cam_type,
+                                  chi2_th=ba_ops.CHI2_MONO),
                 static_argnames=("iters1", "iters2"))
         return self._ba_jit(prob, jnp.asarray(self.K), iters1=iters[0], iters2=iters[1])
 

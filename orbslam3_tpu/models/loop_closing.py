@@ -36,7 +36,10 @@ class LoopCloser:
                  fix_scale: bool = False, min_kfs: int = 12,
                  exclude_recent: int = 8, seed: int = 0):
         self.map = map_state
-        self.K = np.asarray(K, np.float32)
+        # pinhole intrinsics (fx fy cx cy); for fisheye rigs this is the
+        # model's focal block — projection checks here are near-axis
+        # approximations (exact model projection is a later refinement)
+        self.K = np.asarray(K, np.float32)[:4]
         self.wh = np.asarray(wh, np.float32)
         self.fix_scale = fix_scale
         self.min_kfs = min_kfs

@@ -23,7 +23,7 @@ class SlamSystem:
                  tracking_params: TrackingParams | None = None,
                  map_cfg: MapConfig | None = None, seed: int = 0,
                  bf: float = 0.0, th_depth: float = 0.0,
-                 enable_loop_closing: bool = True):
+                 enable_loop_closing: bool = True, cam_type: int = 0):
         self.orb_cfg = feat_ops.OrbConfig(n_features=n_features)
         cap = self.orb_cfg.total_capacity
         self.map_cfg = map_cfg or MapConfig(n_features=cap)
@@ -35,9 +35,10 @@ class SlamSystem:
         self._wh = wh
         self._bf = float(bf)
         self._enable_lc = enable_loop_closing
+        self.cam_type = int(cam_type)
         self.tracker = Tracker(K, D, wh, self.orb_cfg, self.atlas.current,
                                params=tracking_params, seed=seed,
-                               bf=bf, th_depth=th_depth)
+                               bf=bf, th_depth=th_depth, cam_type=cam_type)
         self._bind_map(self.atlas.current)
         self.tracker.on_tracking_lost = self._on_tracking_lost
         self.tracker.try_cross_map_reloc = self._try_cross_map_reloc
@@ -50,7 +51,8 @@ class SlamSystem:
     def _bind_map(self, m):
         """(Re)bind mapper/loop-closer/tracker to the active atlas map."""
         self.tracker.map = m
-        self.mapper = LocalMapper(m, self._K, self.orb_cfg, wh=self._wh)
+        self.mapper = LocalMapper(m, self._K, self.orb_cfg, wh=self._wh,
+                                  cam_type=self.cam_type)
         self.mapper.bf = self._bf
         self.mapper.preserve_temporal_chain = getattr(
             self.tracker, "imu_enabled", False)

@@ -73,9 +73,16 @@ class Tracker:
     def __init__(self, K: np.ndarray, D: np.ndarray | None, wh: tuple[int, int],
                  orb_cfg: feat_ops.OrbConfig, map_state: MapState,
                  params: TrackingParams | None = None, seed: int = 0,
-                 bf: float = 0.0, th_depth: float = 0.0):
-        self.K = np.asarray(K, np.float32)
-        self.D = None if D is None else np.asarray(D, np.float32)
+                 bf: float = 0.0, th_depth: float = 0.0,
+                 cam_type: int = 0):
+        # cam_type: 0 = pinhole (K = fx fy cx cy, D = radtan), 1 = Kannala-
+        # Brandt-8 fisheye (K = fx fy cx cy k0..k3, keypoints kept raw —
+        # the reference projects through the model everywhere,
+        # include/CameraModels/KannalaBrandt8.h)
+        self.cam_type = int(cam_type)
+        self.cam_params = np.asarray(K, np.float32)
+        self.K = np.asarray(K, np.float32)[:4]
+        self.D = None if (D is None or cam_type != 0) else np.asarray(D, np.float32)
         self.wh = np.asarray(wh, np.float32)
         self.orb_cfg = orb_cfg
         self.map = map_state
@@ -90,8 +97,9 @@ class Tracker:
         self.extract = feat_ops.make_extractor(int(wh[1]), int(wh[0]), orb_cfg)
         self.match_init = kernels.init_matcher()
         self.two_view = kernels.two_view_kernel(sigma_n=1.0 / float(self.K[0]))
-        self.pose_opt = kernels.pose_opt_kernel(cam_type=0)
-        self.proj_match = kernels.projection_matcher(0, orb_cfg.n_levels, orb_cfg.scale)
+        self.pose_opt = kernels.pose_opt_kernel(cam_type=self.cam_type)
+        self.proj_match = kernels.projection_matcher(
+            self.cam_type, orb_cfg.n_levels, orb_cfg.scale)
 
         # --- IMU state (visual-inertial mode; reference src/Tracking.cc IMU
         # queue :1450, PreintegrateIMU :1457, PredictStateIMU :1616) ---
@@ -491,8 +499,19 @@ class Tracker:
 
         # normalized coords of matches
         fx, fy, cx, cy = self.K[:4]
-        x1 = (f0.xy - [cx, cy]) / [fx, fy]
-        x2 = (f1.xy[idxn] - [cx, cy]) / [fx, fy]
+        if self.cam_type == 0:
+            x1 = (f0.xy - [cx, cy]) / [fx, fy]
+            x2 = (f1.xy[idxn] - [cx, cy]) / [fx, fy]
+        else:
+            # fisheye: normalized coords through the camera model (reference
+            # two-view init goes through GeometricCamera::ReconstructWithTwoViews)
+            from ..ops import camera as cam_ops
+            r1 = np.asarray(cam_ops.unproject(self.cam_type,
+                jnp.asarray(self.cam_params), jnp.asarray(f0.xy)))
+            r2 = np.asarray(cam_ops.unproject(self.cam_type,
+                jnp.asarray(self.cam_params), jnp.asarray(f1.xy[idxn])))
+            x1 = r1[:, :2]
+            x2 = r2[:, :2]
         rand_sets = self._rand_sets(np.nonzero(okn)[0], iters=200, k=8)
         res = self.two_view(
             jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32),
@@ -673,7 +692,7 @@ class Tracker:
         idx, ok, uv, lvl, frustum_ok = self.proj_match(
             jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(normal),
             jnp.asarray(mind), jnp.asarray(maxd), jnp.asarray(valid),
-            jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(self.K),
+            jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(self.cam_params),
             jnp.asarray(frame.xy), jnp.asarray(frame.desc),
             jnp.asarray(frame.octave), jnp.asarray(frame.valid),
             jnp.asarray(self.wh), jnp.asarray(radius, jnp.float32),
@@ -703,7 +722,7 @@ class Tracker:
         res = self.pose_opt(
             jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pts),
             jnp.asarray(frame.xy), jnp.asarray(inv_s2, jnp.float32),
-            jnp.asarray(matched & frame.valid), jnp.asarray(self.K),
+            jnp.asarray(matched & frame.valid), jnp.asarray(self.cam_params),
             jnp.asarray(frame.ur), jnp.asarray(self.bf, jnp.float32))
         frame.R = np.asarray(res.R)
         frame.t = np.asarray(res.t)
@@ -808,8 +827,9 @@ class Tracker:
             if len(matched) >= 10:
                 from ..ops import camera as cam_ops, pnp as pnp_ops
                 xw = m.mp_xyz[frame.feat_mp[matched]]
-                rays = np.asarray(cam_ops.pinhole_unproject(
-                    jnp.asarray(self.K), jnp.asarray(frame.xy[matched])))
+                rays = np.asarray(cam_ops.unproject(
+                    self.cam_type, jnp.asarray(self.cam_params),
+                    jnp.asarray(frame.xy[matched])))
                 rand = self.rng.integers(0, len(matched), (128, 6)).astype(np.int32)
                 res = pnp_ops.pnp_ransac(
                     jnp.asarray(xw.astype(np.float32)), jnp.asarray(rays),

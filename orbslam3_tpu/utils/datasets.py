@@ -228,16 +228,30 @@ class RoomScene:
     def K(self) -> np.ndarray:
         return np.array([self.fx, self.fy, self.cx, self.cy], dtype=np.float32)
 
+    # optional fisheye: set to an 8-vector (fx fy cx cy k0..k3) to render
+    # through the Kannala-Brandt model instead of the pinhole
+    kb8_params: np.ndarray | None = None
+
     def stereo_pose(self, R_cw: np.ndarray, t_cw: np.ndarray, baseline: float):
         """World→right-camera pose for a rectified rig: x_r = x_l − [b,0,0]."""
         t_r = t_cw - np.array([baseline, 0.0, 0.0])
         return R_cw, t_r
 
+    def _pixel_rays(self):
+        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        if self.kb8_params is not None:
+            import jax.numpy as jnp
+            from ..ops import camera as cam_ops
+            uvs = np.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(np.float32)
+            rays = np.asarray(cam_ops.kb8_unproject(
+                jnp.asarray(self.kb8_params, jnp.float32), jnp.asarray(uvs)))
+            return rays.reshape(self.h, self.w, 3).astype(float)
+        return np.stack([(uu - self.cx) / self.fx, (vv - self.cy) / self.fy,
+                         np.ones_like(uu, float)], axis=-1)
+
     def render(self, R_cw: np.ndarray, t_cw: np.ndarray,
                return_depth: bool = False):
-        uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
-        rays_c = np.stack([(uu - self.cx) / self.fx, (vv - self.cy) / self.fy,
-                           np.ones_like(uu, float)], axis=-1)
+        rays_c = self._pixel_rays()
         R_wc = R_cw.T
         c = -R_wc @ t_cw
         rays_w = rays_c @ R_wc.T

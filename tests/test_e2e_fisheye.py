@@ -1,0 +1,45 @@
+"""Monocular fisheye (Kannala-Brandt-8) end-to-end tracking.
+
+The reference's headline TUM-VI capability (reference
+src/CameraModels/KannalaBrandt8.cpp, Examples/Monocular/TUM_512.yaml:
+512x512 fisheye). The room fixture renders through the KB8 model; the full
+tracking pipeline runs with cam_type=1 (projection/unprojection/Jacobians
+dispatch through the fisheye model everywhere).
+"""
+import numpy as np
+import pytest
+
+from orbslam3_tpu.models.system import SlamSystem
+from orbslam3_tpu.models.tracking import TrackState
+from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
+from orbslam3_tpu.utils.evaluation import evaluate_trajectory
+
+# TUM-VI-like fisheye intrinsics on a 512x512 sensor
+KB8 = np.asarray([190.978, 190.973, 256.0, 256.0,
+                  0.00348, 0.000715, -0.00205, 0.000202], np.float32)
+N_FRAMES = 24
+
+
+def test_mono_fisheye_tracks():
+    scene = RoomScene(seed=6, depth=6.0, half_w=4.0, half_h=2.5,
+                      h=512, w=512, fx=190.978, fy=190.973, cx=256.0, cy=256.0)
+    scene.kb8_params = KB8
+    poses = orbit_trajectory(N_FRAMES, radius=0.6, forward=0.03)
+    sys = SlamSystem(KB8, None, (512, 512), n_features=512, seed=0,
+                     cam_type=1, enable_loop_closing=False)
+    gt = []
+    states = []
+    for i, (R, t) in enumerate(poses):
+        img = scene.render(R, t)
+        sys.track_monocular(img, ts=i / 20.0)
+        gt.append(-R.T @ t)
+        states.append(sys.state)
+    assert sys.state == TrackState.OK, [s.name for s in states]
+    non_ok = sum(s != TrackState.OK for s in states[12:])
+    assert non_ok <= 3, [s.name for s in states]
+    ts, R_wc, t_wc, lost = sys.export_trajectory()
+    sel = ~lost
+    ate, n = evaluate_trajectory(np.arange(N_FRAMES) / 20.0, np.array(gt),
+                                 ts[sel], t_wc[sel], with_scale=True)
+    assert n > 0.6 * N_FRAMES
+    assert ate < 0.5, ate
