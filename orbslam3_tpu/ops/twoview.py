@@ -104,6 +104,54 @@ def _score(d1, d2, valid, chi_th, inv_sigma_n2):
     return jnp.sum(sc, axis=-1), inlier
 
 
+def decompose_homography(H: jax.Array):
+    """Faugeras SVD decomposition of a (normalized-coordinate) homography into
+    8 motion hypotheses (R, t, n) with H ∝ R + t nᵀ/d (reference ReconstructH,
+    src/TwoViewReconstruction.cc; method of Faugeras & Lustman 1988).
+
+    Returns (R (8,3,3), t (8,3) unit, n (8,3)).
+    """
+    U, D, Vt = jnp.linalg.svd(H)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = D[0], D[1], D[2]
+    # guard the degenerate equal-singular-value cases (pure rotation)
+    eps = 1e-9
+    x1m = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / jnp.maximum(d1 * d1 - d3 * d3, eps), 0.0))
+    x3m = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / jnp.maximum(d1 * d1 - d3 * d3, eps), 0.0))
+    e1 = jnp.asarray([1.0, 1.0, -1.0, -1.0], H.dtype)
+    e3 = jnp.asarray([1.0, -1.0, 1.0, -1.0], H.dtype)
+    x1 = e1 * x1m
+    x3 = e3 * x3m
+
+    Rs, ts, ns = [], [], []
+    # case d' = +d2
+    st = (d1 - d3) * x1 * x3 / jnp.maximum(d2, eps)
+    ct = (d1 * x3 * x3 + d3 * x1 * x1) / jnp.maximum(d2, eps)
+    for i in range(4):
+        Rp = jnp.asarray(
+            [[ct[i], 0.0, -st[i]], [0.0, 1.0, 0.0], [st[i], 0.0, ct[i]]], H.dtype)
+        tp = (d1 - d3) * jnp.stack([x1[i], jnp.zeros((), H.dtype), -x3[i]])
+        npl = jnp.stack([x1[i], jnp.zeros((), H.dtype), x3[i]])
+        Rs.append(s * U @ Rp @ Vt)
+        ts.append(U @ tp)
+        ns.append(Vt.T @ npl)
+    # case d' = −d2
+    sp = (d1 + d3) * x1 * x3 / jnp.maximum(d2, eps)
+    cp = (d3 * x1 * x1 - d1 * x3 * x3) / jnp.maximum(d2, eps)
+    for i in range(4):
+        Rp = jnp.asarray(
+            [[cp[i], 0.0, sp[i]], [0.0, -1.0, 0.0], [sp[i], 0.0, -cp[i]]], H.dtype)
+        tp = (d1 + d3) * jnp.stack([x1[i], jnp.zeros((), H.dtype), x3[i]])
+        npl = jnp.stack([x1[i], jnp.zeros((), H.dtype), x3[i]])
+        Rs.append(s * U @ Rp @ Vt)
+        ts.append(U @ tp)
+        ns.append(Vt.T @ npl)
+    R8 = jnp.stack(Rs)
+    t8 = jnp.stack(ts)
+    t8 = t8 / jnp.maximum(jnp.linalg.norm(t8, axis=-1, keepdims=True), 1e-12)
+    return R8, t8, jnp.stack(ns)
+
+
 class TwoViewResult(NamedTuple):
     success: jax.Array    # () bool
     R: jax.Array          # (3,3) cam1→cam2 (world = cam1)
@@ -140,10 +188,17 @@ def reconstruct_two_views(
     SF = sf[bf]
     SH = sh[bh]
     rh = SH / jnp.maximum(SH + SF, 1e-12)
-    is_h = rh > 0.50  # reference src/TwoViewReconstruction.cc:128-143 (V0.4 uses 0.50)
+    # ORB-SLAM2's 0.40 rather than the reference V0.4's 0.50
+    # (src/TwoViewReconstruction.cc:135 `if(RH>0.50) // if(RH>0.40)`): the
+    # F-score is structurally higher on points fitting both models (1-DoF vs
+    # 2-DoF error), so on a pure plane RH ties at ~0.5 and 0.50 selects F,
+    # which reconstructs a confident-but-wrong motion (test_two_view_planar_
+    # scene_is_safe demonstrates it); 0.40 routes planar scenes to Faugeras.
+    is_h = rh > 0.40
 
     Fbest = F[bf]
-    inliers = inl_f[bf]
+    Hbest = H[bh]
+    inliers = jnp.where(is_h, inl_h[bh], inl_f[bf])
 
     # ReconstructF: E = F (normalized coords); 4 decompositions
     u, s, vt = jnp.linalg.svd(Fbest)
@@ -155,8 +210,14 @@ def reconstruct_two_views(
     R2 = R2 * jnp.sign(jnp.linalg.det(R2))
     tb = u[:, 2]
     tb = tb / (jnp.linalg.norm(tb) + 1e-12)
-    cands_R = jnp.stack([R1, R1, R2, R2])
-    cands_t = jnp.stack([tb, -tb, tb, -tb])
+    f_R = jnp.stack([R1, R1, R2, R2])
+    f_t = jnp.stack([tb, -tb, tb, -tb])
+    # ReconstructH: Faugeras 8-way decomposition
+    h_R, h_t, _ = decompose_homography(Hbest)
+    cands_R = jnp.concatenate([f_R, h_R])
+    cands_t = jnp.concatenate([f_t, h_t])
+    cand_valid = jnp.concatenate([
+        jnp.full((4,), ~is_h), jnp.full((8,), is_h)])
 
     ones1 = jnp.ones(x1.shape[:-1] + (1,), x1.dtype)
     rays1 = jnp.concatenate([x1, ones1], axis=-1)
@@ -175,6 +236,7 @@ def reconstruct_two_views(
         return jnp.sum(ok.astype(jnp.int32)), xw, ok
 
     ngood, xws, oks = jax.vmap(check)(cands_R, cands_t)
+    ngood = jnp.where(cand_valid, ngood, -1)
     bi = jnp.argmax(ngood)
     nbest = ngood[bi]
     nsecond = jnp.sort(ngood)[-2]

@@ -49,14 +49,13 @@ def test_two_view_reconstruction_recovers_motion():
     assert np.median(rel) < 0.05, np.median(rel)
 
 
-@pytest.mark.xfail(reason="planar monocular bootstrap via F is ambiguous; "
-                   "H (Faugeras) reconstruction path is a later-round TODO",
-                   strict=False)
 def test_two_view_planar_scene_is_safe():
-    """On a pure plane the reference's RH>0.50 rule (src/TwoViewReconstruction.cc:135)
-    actually picks F too (the 1-DoF epipolar score always beats the 2-DoF H score
-    on points fitting both models); safety comes from the reconstruction gates.
-    Assert we never return a *successful but geometrically wrong* bootstrap."""
+    """Planar scene: the Faugeras H path (and the reconstruction gates on the
+    F path) must never return a *successful but geometrically wrong* bootstrap.
+    Note the reference's RH>0.50 rule (src/TwoViewReconstruction.cc:135) picks
+    F even on a pure plane (the 1-DoF epipolar score always beats the 2-DoF H
+    score on points fitting both models); with the 8-way H candidates in the
+    pool, whichever model wins must yield the true motion when it succeeds."""
     rng = np.random.default_rng(2)
     n = 200
     # points on a plane z = 8 + 0.3x + 0.1y
@@ -73,11 +72,28 @@ def test_two_view_planar_scene_is_safe():
         jnp.asarray(x1), jnp.asarray(x2), jnp.ones(n, bool),
         jnp.asarray(rand_sets), sigma_n=1.0 / 458.0,
     )
-    if bool(res.success) and not bool(res.is_homography):
-        # if it claims success via F, the motion must actually be right
+    if bool(res.success):
+        # whenever it claims success, the motion must actually be right
         t_unit = t / np.linalg.norm(t)
-        assert min(np.abs(np.asarray(res.t) - t_unit).max(),
-                   np.abs(np.asarray(res.t) + t_unit).max()) < 0.1
+        assert np.abs(np.asarray(res.R) - R).max() < 0.05
+        assert np.abs(np.asarray(res.t) - t_unit).max() < 0.1, np.asarray(res.t)
+
+
+def test_homography_decomposition_contains_truth():
+    """Faugeras 8-way decomposition must contain the true (R, t/|t|)."""
+    rng = np.random.default_rng(4)
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.05, -0.12, 0.08], jnp.float32)))
+    t = np.array([0.4, -0.1, 0.2], np.float32)
+    n = np.array([0.1, -0.05, 1.0]); n /= np.linalg.norm(n)
+    d = 5.0
+    H = R + np.outer(t, n) / d
+    R8, t8, n8 = twoview.decompose_homography(jnp.asarray(H, jnp.float32))
+    t_unit = t / np.linalg.norm(t)
+    r_errs = np.abs(np.asarray(R8) - R).max(axis=(1, 2))
+    t_errs = np.abs(np.asarray(t8) - t_unit).max(axis=1)
+    best = np.argmin(r_errs + t_errs)
+    assert r_errs[best] < 1e-3, r_errs
+    assert t_errs[best] < 1e-3, t_errs
 
 
 def test_two_view_fails_on_garbage():
