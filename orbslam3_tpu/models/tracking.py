@@ -182,35 +182,16 @@ class Tracker:
         return st
 
     def _accumulate_preint(self, st):
-        """Accumulate per-frame preintegration into the since-last-KF block by
-        composition (ΔR/ΔV/ΔP chain; covariance/Jacobian composition follows
-        the same update structure)."""
-        import jax.numpy as jnp
+        """Accumulate per-frame preintegration into the since-last-KF block
+        (reference keeps mpImuPreintegratedFromLastKF alongside the per-frame
+        preintegration, src/Tracking.cc:1457-1604)."""
         from ..ops import imu as imu_ops
         if st is None:
             return
         if self.preint_since_kf is None:
             self.preint_since_kf = st
-            return
-        a = self.preint_since_kf
-        b = st
-        dR = np.asarray(a.dR) @ np.asarray(b.dR)
-        dV = np.asarray(a.dV) + np.asarray(a.dR) @ np.asarray(b.dV)
-        dP = (np.asarray(a.dP) + np.asarray(a.dV) * float(b.dT)
-              + np.asarray(a.dR) @ np.asarray(b.dP))
-        JRg = np.asarray(b.dR).T @ np.asarray(a.JRg) + np.asarray(b.JRg)
-        JVg = np.asarray(a.JVg) + np.asarray(a.dR) @ np.asarray(b.JVg)  # approx (dR-coupling term dropped)
-        JVa = np.asarray(a.JVa) + np.asarray(a.dR) @ np.asarray(b.JVa)
-        JPg = (np.asarray(a.JPg) + np.asarray(a.JVg) * float(b.dT)
-               + np.asarray(a.dR) @ np.asarray(b.JPg))
-        JPa = (np.asarray(a.JPa) + np.asarray(a.JVa) * float(b.dT)
-               + np.asarray(a.dR) @ np.asarray(b.JPa))
-        C = np.asarray(a.C) + np.asarray(b.C)   # conservative upper bound
-        self.preint_since_kf = type(a)(
-            dR=jnp.asarray(dR), dV=jnp.asarray(dV), dP=jnp.asarray(dP),
-            JRg=jnp.asarray(JRg), JVg=jnp.asarray(JVg), JVa=jnp.asarray(JVa),
-            JPg=jnp.asarray(JPg), JPa=jnp.asarray(JPa), C=jnp.asarray(C),
-            dT=a.dT + b.dT, bias_g=a.bias_g, bias_a=a.bias_a)
+        else:
+            self.preint_since_kf = imu_ops.compose(self.preint_since_kf, st)
 
     def _predict_pose_imu(self, frame: Frame) -> bool:
         """IMU state propagation as pose prediction (reference PredictStateIMU)."""

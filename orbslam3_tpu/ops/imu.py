@@ -150,8 +150,13 @@ def compose(a: PreintState, b: PreintState) -> PreintState:
 
     Mirrors the reference's ``MergePrevious`` used when keyframes are culled
     (src/LocalMapping.cc KeyFrameCulling inertial branch). The JVg coupling
-    term through dR is first-order approximated; covariance adds (conservative).
-    """
+    term through dR is first-order approximated. The 9×9 delta covariance is
+    propagated through the composition's linearization
+        δθ_ab = dR_bᵀ δθ_a + δθ_b
+        δV_ab = δV_a − dR_a·[dV_b]× δθ_a + dR_a δV_b
+        δP_ab = δP_a + dT_b δV_a − dR_a·[dP_b]× δθ_a + dR_a δP_b
+    (the bias random-walk blocks simply add)."""
+    dtype = a.dR.dtype
     dR = a.dR @ b.dR
     dV = a.dV + a.dR @ b.dV
     dP = a.dP + a.dV * b.dT + a.dR @ b.dP
@@ -160,8 +165,22 @@ def compose(a: PreintState, b: PreintState) -> PreintState:
     JVa = a.JVa + a.dR @ b.JVa
     JPg = a.JPg + a.JVg * b.dT + a.dR @ b.JPg
     JPa = a.JPa + a.JVa * b.dT + a.dR @ b.JPa
+    eye = jnp.eye(3, dtype=dtype)
+    A = jnp.zeros((9, 9), dtype)
+    A = A.at[0:3, 0:3].set(b.dR.T)
+    A = A.at[3:6, 0:3].set(-a.dR @ lie.hat(b.dV))
+    A = A.at[3:6, 3:6].set(eye)
+    A = A.at[6:9, 0:3].set(-a.dR @ lie.hat(b.dP))
+    A = A.at[6:9, 3:6].set(eye * b.dT)
+    A = A.at[6:9, 6:9].set(eye)
+    # the new-segment V/P deltas enter rotated by dR_a; δθ_b enters directly
+    Ba = jax.scipy.linalg.block_diag(eye, a.dR, a.dR)
+    C9 = A @ a.C[0:9, 0:9] @ A.T + Ba @ b.C[0:9, 0:9] @ Ba.T
+    C = jnp.zeros((15, 15), dtype)
+    C = C.at[0:9, 0:9].set(C9)
+    C = C.at[9:15, 9:15].set(a.C[9:15, 9:15] + b.C[9:15, 9:15])
     return PreintState(dR=dR, dV=dV, dP=dP, JRg=JRg, JVg=JVg, JVa=JVa,
-                       JPg=JPg, JPa=JPa, C=a.C + b.C, dT=a.dT + b.dT,
+                       JPg=JPg, JPa=JPa, C=C, dT=a.dT + b.dT,
                        bias_g=a.bias_g, bias_a=a.bias_a)
 
 
