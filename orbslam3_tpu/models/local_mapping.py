@@ -39,22 +39,34 @@ class LocalMapper:
         self._ba_jit = None
         self.recent_mp: list[tuple[int, np.ndarray]] = []  # (created_at_kf, ids)
         self.stats = {"triangulated": 0, "culled_mp": 0, "ba_runs": 0}
+        # async hook: called with the anchor SE3 correction after a
+        # propagated global BA so the tracker can shift its live frame
+        self.on_poses_corrected = None
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, kf_id: int, initial: bool = False):
+    def process_keyframe(self, kf_id: int, initial: bool = False,
+                         abort_check=None):
+        """One mapper round (reference LocalMapping::Run body,
+        src/LocalMapping.cc:77-339). ``abort_check`` implements the
+        reference's run-BA-only-when-idle rule (:153: LBA runs only if the
+        keyframe queue is empty and no stop was requested)."""
         m = self.map
-        m.refresh_map_points(np.unique(m.kf_feat_mp[kf_id][m.kf_feat_mp[kf_id] >= 0]))
-        if initial:
-            # initial map: global BA over the 2 bootstrap KFs (reference
-            # CreateInitialMapMonocular runs GlobalBundleAdjustemnt(20))
-            self.local_ba(kf_id, iters=(10, 20))
-            self._renormalize_initial_scale(kf_id)
-            return
-        self.cull_map_points(kf_id)
-        self.create_new_map_points(kf_id)
-        self.search_in_neighbors(kf_id)
-        self.local_ba(kf_id)
-        self.cull_keyframes(kf_id)
+        with m.lock:
+            m.refresh_map_points(
+                np.unique(m.kf_feat_mp[kf_id][m.kf_feat_mp[kf_id] >= 0]))
+            if initial:
+                # initial map: global BA over the 2 bootstrap KFs (reference
+                # CreateInitialMapMonocular runs GlobalBundleAdjustemnt(20))
+                self.local_ba(kf_id, iters=(10, 20))
+                self._renormalize_initial_scale(kf_id)
+                return
+            self.cull_map_points(kf_id)
+            self.create_new_map_points(kf_id)
+            self.search_in_neighbors(kf_id)
+        if abort_check is None or not abort_check():
+            self.local_ba(kf_id)
+            with m.lock:
+                self.cull_keyframes(kf_id)
 
     def _renormalize_initial_scale(self, kf_id: int):
         """After init BA, re-fix median depth to 1 (the BA may drift the gauge
@@ -281,13 +293,40 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def local_ba(self, kf_id: int, iters: tuple[int, int] = (5, 10)):
         """Reference LocalBundleAdjustment (src/Optimizer.cc:1858): window =
-        KF + covisibles; fixed = other observers (min 2); two-phase schedule."""
+        KF + covisibles; fixed = other observers (min 2); two-phase schedule.
+        The problem is gathered and written back under the map lock; the
+        device solve runs on the gathered (immutable) snapshot outside it."""
+        m = self.map
+        with m.lock:
+            prob_data = self._gather_local_ba(kf_id)
+        if prob_data is None:
+            return
+        prob, all_kfs, fixed_mask, pts, o_src_kf, o_src_feat, n_obs = prob_data
+        res = self._run_ba(prob, iters)
+        with m.lock:
+            # write back
+            Rn = np.asarray(res.R)[: len(all_kfs)]
+            tn = np.asarray(res.t)[: len(all_kfs)]
+            for i, k in enumerate(all_kfs):
+                if not fixed_mask[i] and m.kf_valid[k]:
+                    m.kf_R[k] = Rn[i]
+                    m.kf_t[k] = tn[i]
+            keep = m.mp_valid[pts]
+            m.mp_xyz[pts[keep]] = np.asarray(res.pts)[: len(pts)][keep]
+            # erase outlier observations (reference :2270 area)
+            inl = np.asarray(res.obs_inlier)[: n_obs]
+            bad = ~inl
+            if bad.any():
+                m.kf_feat_mp[o_src_kf[bad], o_src_feat[bad]] = -1
+        self.stats["ba_runs"] += 1
+
+    def _gather_local_ba(self, kf_id: int):
         m = self.map
         window = [kf_id] + [int(k) for k in m.best_covisible(kf_id, self.ba_window - 1, min_weight=15)]
         window = list(dict.fromkeys(window))
         pts = m.local_map_points(np.asarray(window, np.int32))[: self.ba_point_cap]
         if len(pts) < 20 or len(window) < 2:
-            return
+            return None
         kf_idx, feat_idx = m.observations_of(pts)
         obs_mp_global = m.kf_feat_mp[kf_idx, feat_idx]
         # fixed KFs: observers outside the window (cap), else fix the oldest in window
@@ -328,7 +367,7 @@ class LocalMapper:
         Pb = self._bucket(len(pts), [256, 512, 1024, 2048, 4096])
         Ob = self._bucket(len(o_kf), [1024, 2048, 4096, 8192, 16384, 32768])
         if Kb is None or Pb is None or Ob is None:
-            return
+            return None
 
         def pad(a, n, fill=0):
             out = np.full((n,) + a.shape[1:], fill, a.dtype)
@@ -351,49 +390,45 @@ class LocalMapper:
             obs_ur=jnp.asarray(pad(o_ur.astype(np.float32), Ob, -1.0)),
             bf=jnp.asarray(self.bf, jnp.float32),
         )
-        res = self._run_ba(prob, iters)
-        # write back
-        Rn = np.asarray(res.R)[: len(all_kfs)]
-        tn = np.asarray(res.t)[: len(all_kfs)]
-        for i, k in enumerate(all_kfs):
-            if not fixed_mask[i]:
-                m.kf_R[k] = Rn[i]
-                m.kf_t[k] = tn[i]
-        m.mp_xyz[pts] = np.asarray(res.pts)[: len(pts)]
-        # erase outlier observations (reference :2270 area)
-        inl = np.asarray(res.obs_inlier)[: len(o_kf)]
-        bad = ~inl
-        if bad.any():
-            m.kf_feat_mp[o_src_kf[bad], o_src_feat[bad]] = -1
-        self.stats["ba_runs"] += 1
+        return prob, all_kfs, fixed_mask, pts, o_src_kf, o_src_feat, len(o_kf)
 
-    def global_ba(self, iters: tuple[int, int] = (4, 6)):
-        """Full-map BA (reference GlobalBundleAdjustemnt, run after loop
-        closure with 10 iterations, src/LoopClosing.cc:2598; synchronous here —
-        the reference's interruptible background-thread version is roadmap)."""
+    def global_ba(self, iters: tuple[int, int] = (4, 6), abort_check=None,
+                  propagate: bool = False) -> bool:
+        """Full-map BA (reference GlobalBundleAdjustemnt, 10 iterations at loop
+        closure, src/LoopClosing.cc:2598). Runs in bounded device chunks so a
+        background runner can abort between them (the reference's mbStopGBA
+        polled per g2o iteration); with ``propagate=True``, keyframes and map
+        points created while the BA ran are corrected through their
+        reference keyframe (the reference's spanning-tree propagation,
+        src/LoopClosing.cc:2640-2830). Returns True if results were applied."""
         m = self.map
-        kfs = [int(k) for k in m.valid_kf_ids()]
-        if len(kfs) < 3:
-            return
-        pts = m.valid_mp_ids()[: self.ba_point_cap]
-        kf_idx, feat_idx = m.observations_of(pts)
-        obs_mp_global = m.kf_feat_mp[kf_idx, feat_idx]
-        kf_lut = np.full(m.cfg.max_keyframes, -1, np.int32)
-        kf_lut[np.asarray(kfs)] = np.arange(len(kfs))
-        mp_lut = np.full(m.cfg.max_map_points, -1, np.int32)
-        mp_lut[pts] = np.arange(len(pts))
-        sel = (kf_lut[kf_idx] >= 0) & (mp_lut[obs_mp_global] >= 0)
-        o_kf = kf_lut[kf_idx[sel]]
-        o_mp = mp_lut[obs_mp_global[sel]]
-        o_uv = m.kf_feat_xy[kf_idx[sel], feat_idx[sel]]
-        o_ur = m.kf_feat_ur[kf_idx[sel], feat_idx[sel]]
-        o_is2 = m.inv_level_sigma2[m.kf_feat_octave[kf_idx[sel], feat_idx[sel]]]
+        with m.lock:
+            kfs = [int(k) for k in m.valid_kf_ids()]
+            if len(kfs) < 3:
+                return False
+            snap_n_kf = m.n_kf
+            snap_n_mp = m.n_mp
+            old_R = m.kf_R.copy()
+            old_t = m.kf_t.copy()
+            pts = m.valid_mp_ids()[: self.ba_point_cap]
+            kf_idx, feat_idx = m.observations_of(pts)
+            obs_mp_global = m.kf_feat_mp[kf_idx, feat_idx]
+            kf_lut = np.full(m.cfg.max_keyframes, -1, np.int32)
+            kf_lut[np.asarray(kfs)] = np.arange(len(kfs))
+            mp_lut = np.full(m.cfg.max_map_points, -1, np.int32)
+            mp_lut[pts] = np.arange(len(pts))
+            sel = (kf_lut[kf_idx] >= 0) & (mp_lut[obs_mp_global] >= 0)
+            o_kf = kf_lut[kf_idx[sel]]
+            o_mp = mp_lut[obs_mp_global[sel]]
+            o_uv = m.kf_feat_xy[kf_idx[sel], feat_idx[sel]]
+            o_ur = m.kf_feat_ur[kf_idx[sel], feat_idx[sel]]
+            o_is2 = m.inv_level_sigma2[m.kf_feat_octave[kf_idx[sel], feat_idx[sel]]]
 
-        Kb = self._bucket(len(kfs), [16, 32, 64, 96, 128])
+        Kb = self._bucket(len(kfs), [16, 32, 64, 96, 128, 192, 256, 384, 512])
         Pb = self._bucket(len(pts), [1024, 2048, 4096])
         Ob = self._bucket(len(o_kf), [4096, 8192, 16384, 32768, 65536])
         if Kb is None or Pb is None or Ob is None:
-            return
+            return False
 
         def pad(a, n, fill=0):
             out = np.full((n,) + a.shape[1:], fill, a.dtype)
@@ -402,12 +437,12 @@ class LocalMapper:
 
         eye_pad = np.zeros((Kb, 3, 3), np.float32)
         eye_pad[:] = np.eye(3)
-        eye_pad[: len(kfs)] = m.kf_R[kfs]
+        eye_pad[: len(kfs)] = old_R[kfs]
         fixed_mask = np.zeros(len(kfs), bool)
         fixed_mask[:2] = True
         prob = ba_ops.BAProblem(
             R=jnp.asarray(eye_pad),
-            t=jnp.asarray(pad(m.kf_t[kfs], Kb)),
+            t=jnp.asarray(pad(old_t[kfs], Kb)),
             pts=jnp.asarray(pad(m.mp_xyz[pts], Pb)),
             obs_kf=jnp.asarray(pad(o_kf.astype(np.int32), Ob)),
             obs_mp=jnp.asarray(pad(o_mp.astype(np.int32), Ob)),
@@ -418,15 +453,67 @@ class LocalMapper:
             obs_ur=jnp.asarray(pad(o_ur.astype(np.float32), Ob, -1.0)),
             bf=jnp.asarray(self.bf, jnp.float32),
         )
-        res = self._run_ba(prob, iters)
-        Rn = np.asarray(res.R)[: len(kfs)]
-        tn = np.asarray(res.t)[: len(kfs)]
-        for i, k in enumerate(kfs):
-            if not fixed_mask[i]:
-                m.kf_R[k] = Rn[i]
-                m.kf_t[k] = tn[i]
-        m.mp_xyz[pts] = np.asarray(res.pts)[: len(pts)]
+        # phase 1 (outlier classification happens inside), then phase 2 in
+        # abortable chunks of 2 LM iterations
+        if abort_check is not None and abort_check():
+            return False
+        res = self._run_ba(prob, (iters[0], 0))
+        prob = prob._replace(R=res.R, t=res.t, pts=res.pts,
+                             obs_valid=prob.obs_valid & res.obs_inlier)
+        done = 0
+        while done < iters[1]:
+            if abort_check is not None and abort_check():
+                return False
+            res = self._run_ba(prob, (2, 0))
+            prob = prob._replace(R=res.R, t=res.t, pts=res.pts)
+            done += 2
+
+        with m.lock:
+            Rn = np.asarray(res.R)[: len(kfs)]
+            tn = np.asarray(res.t)[: len(kfs)]
+            for i, k in enumerate(kfs):
+                if not fixed_mask[i] and m.kf_valid[k]:
+                    m.kf_R[k] = Rn[i]
+                    m.kf_t[k] = tn[i]
+            in_ba = np.zeros(m.cfg.max_map_points, bool)
+            keep = m.mp_valid[pts]
+            m.mp_xyz[pts[keep]] = np.asarray(res.pts)[: len(pts)][keep]
+            in_ba[pts[keep]] = True
+            if propagate:
+                # keyframes created during the run: T_k_new = T_k_old ∘
+                # (T_a_old⁻¹ ∘ T_a_new) with anchor a = last snapshot KF.
+                # Their pre-correction (old-world) poses live in the pool NOW —
+                # capture them before overwriting so the map-point re-anchoring
+                # below can use the right "old" pose.
+                a = kfs[-1]
+                Ra_rel = old_R[a].T @ m.kf_R[a]
+                ta_rel = old_R[a].T @ (m.kf_t[a] - old_t[a])
+                for k in range(snap_n_kf, m.n_kf):
+                    old_R[k] = m.kf_R[k]
+                    old_t[k] = m.kf_t[k]
+                    if not m.kf_valid[k]:
+                        continue
+                    m.kf_R[k] = (old_R[k] @ Ra_rel).astype(np.float32)
+                    m.kf_t[k] = (old_R[k] @ ta_rel + old_t[k]).astype(np.float32)
+                # map points not directly solved: re-anchor through their
+                # reference KF (x stays fixed in the ref-KF camera frame)
+                all_mp = m.valid_mp_ids()
+                rest = all_mp[~in_ba[all_mp]]
+                if len(rest):
+                    ref = np.clip(m.mp_ref_kf[rest], 0, m.cfg.max_keyframes - 1)
+                    x = m.mp_xyz[rest]
+                    x_cam = np.einsum("nij,nj->ni", old_R[ref], x) + old_t[ref]
+                    newR = m.kf_R[ref]
+                    newt = m.kf_t[ref]
+                    x_new = np.einsum("nij,nj->ni",
+                                      newR.transpose(0, 2, 1), x_cam - newt)
+                    m.mp_xyz[rest] = x_new.astype(np.float32)
+                # expose the anchor correction for the tracker's live frame
+                if self.on_poses_corrected is not None:
+                    self.on_poses_corrected(Ra_rel.astype(np.float32),
+                                            ta_rel.astype(np.float32))
         self.stats["gba_runs"] = self.stats.get("gba_runs", 0) + 1
+        return True
 
     def _run_ba(self, prob, iters):
         if self._ba_jit is None:

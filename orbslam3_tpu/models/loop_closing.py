@@ -57,28 +57,47 @@ class LoopCloser:
         self.last_loop_kf = -1
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, kf_id: int) -> bool:
+    def process_keyframe(self, kf_id: int, pre_correct=None,
+                         post_correct=None) -> bool:
+        """Detect + verify + correct for one keyframe (reference LoopClosing
+        Run body). ``pre_correct``/``post_correct`` bracket the map mutation —
+        the async runtime uses them to pause the mapper and kill a running
+        global BA (reference CorrectLoop step 1, src/LoopClosing.cc:1259-1289)
+        and to release the mapper afterwards."""
         m = self.map
-        words = self.transform(jnp.asarray(m.kf_feat_desc[kf_id]),
-                               jnp.asarray(m.kf_feat_valid[kf_id]))
-        self.bow_db[kf_id] = np.asarray(self.bow(words))
-        self.bow_filled[kf_id] = True
+        with m.lock:
+            words = self.transform(jnp.asarray(m.kf_feat_desc[kf_id]),
+                                   jnp.asarray(m.kf_feat_valid[kf_id]))
+            self.bow_db[kf_id] = np.asarray(self.bow(words))
+            self.bow_filled[kf_id] = True
 
-        if m.n_kf < self.min_kfs:
+            if m.n_kf < self.min_kfs:
+                return False
+            if (self.last_loop_kf >= 0
+                    and kf_id - self.last_loop_kf < self.exclude_recent):
+                return False
+            cands = self._detect_candidates(kf_id)
+            hit = None
+            for c in cands:
+                self.stats["candidates_checked"] += 1
+                ok, S21 = self._verify_candidate(kf_id, int(c))
+                if ok:
+                    self.stats["loops_detected"] += 1
+                    hit = (int(c), S21)
+                    break
+        if hit is None:
             return False
-        if self.last_loop_kf >= 0 and kf_id - self.last_loop_kf < self.exclude_recent:
-            return False
-        cands = self._detect_candidates(kf_id)
-        for c in cands:
-            self.stats["candidates_checked"] += 1
-            ok, S21 = self._verify_candidate(kf_id, int(c))
-            if ok:
-                self.stats["loops_detected"] += 1
-                self._correct_loop(kf_id, int(c), S21)
-                self.stats["loops_corrected"] += 1
-                self.last_loop_kf = kf_id
-                return True
-        return False
+        if pre_correct is not None:
+            pre_correct()   # outside the map lock (the mapper may hold it)
+        try:
+            with m.lock:
+                self._correct_loop(kf_id, hit[0], hit[1])
+            self.stats["loops_corrected"] += 1
+            self.last_loop_kf = kf_id
+        finally:
+            if post_correct is not None:
+                post_correct()
+        return True
 
     # ------------------------------------------------------------------
     def _detect_candidates(self, kf_id: int, n_best: int = 3) -> np.ndarray:

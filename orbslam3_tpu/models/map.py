@@ -22,9 +22,31 @@ Capacities are framework config; slots are append-only with validity masks
 """
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def locked_current(holder):
+    """Acquire the CURRENT map's lock of an object whose ``.map`` attribute may
+    be rebound by another thread (Atlas merge / new-map spawn). Re-checks the
+    binding after acquisition so the held lock always matches ``holder.map``
+    (the async analogue of the reference's per-map mMutexMapUpdate use)."""
+    while True:
+        m = holder.map
+        m.lock.acquire()
+        if m is holder.map:
+            try:
+                yield m
+            finally:
+                m.lock.release()
+            return
+        m.lock.release()
 
 
 @dataclass
@@ -42,6 +64,11 @@ class MapState:
     def __init__(self, cfg: MapConfig, map_id: int = 0):
         self.cfg = cfg
         self.map_id = map_id
+        # the map-update lock (the reference's per-map Map::mMutexMapUpdate,
+        # include/Map.h:111): in async mode the tracker holds it through the
+        # Track() core, the mapper during gather/write-back, the loop closer
+        # during corrections. Reentrant so sync mode nests freely.
+        self.lock = threading.RLock()
         K, N, P = cfg.max_keyframes, cfg.n_features, cfg.max_map_points
 
         # --- keyframe pool ---

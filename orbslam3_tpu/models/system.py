@@ -23,7 +23,8 @@ class SlamSystem:
                  tracking_params: TrackingParams | None = None,
                  map_cfg: MapConfig | None = None, seed: int = 0,
                  bf: float = 0.0, th_depth: float = 0.0,
-                 enable_loop_closing: bool = True, cam_type: int = 0):
+                 enable_loop_closing: bool = True, cam_type: int = 0,
+                 mapping_mode: str = "sync"):
         self.orb_cfg = feat_ops.OrbConfig(n_features=n_features)
         cap = self.orb_cfg.total_capacity
         self.map_cfg = map_cfg or MapConfig(n_features=cap)
@@ -39,6 +40,12 @@ class SlamSystem:
         self.tracker = Tracker(K, D, wh, self.orb_cfg, self.atlas.current,
                                params=tracking_params, seed=seed,
                                bf=bf, th_depth=th_depth, cam_type=cam_type)
+        # async runtime (reference thread architecture, src/System.cc:135-164)
+        self.runtime = None
+        if mapping_mode == "async":
+            from .async_runtime import AsyncRuntime
+            self.runtime = AsyncRuntime(self)
+            self.tracker.mapper_accepting = self.runtime.accepting
         self._bind_map(self.atlas.current)
         self.tracker.on_tracking_lost = self._on_tracking_lost
         self.tracker.try_cross_map_reloc = self._try_cross_map_reloc
@@ -62,7 +69,15 @@ class SlamSystem:
             self.loop_closer = LoopCloser(m, self._K, self._wh,
                                           fix_scale=self._bf > 0)
 
+        self.mapper.on_poses_corrected = self._on_world_corrected
+
         def on_kf(kf_id, initial=False):
+            if self.runtime is not None and not initial:
+                # async: hand to the mapper thread (reference InsertKeyFrame
+                # queue push, src/LocalMapping.cc:342)
+                self.runtime.insert_keyframe(kf_id, initial)
+                return
+            # sync (or the bootstrap BA, which tracking needs immediately)
             self.mapper.process_keyframe(kf_id, initial=initial)
             if self.loop_closer is not None and not initial:
                 if self.loop_closer.process_keyframe(kf_id):
@@ -73,6 +88,34 @@ class SlamSystem:
                 self._check_map_merge(kf_id)
 
         self.tracker.on_new_keyframe = on_kf
+
+    def _on_world_corrected(self, R_rel, t_rel):
+        """After a propagated background GBA: shift the tracker's live frame by
+        the anchor correction T_f_new = T_f_old ∘ T_rel (the reference instead
+        lets tracking re-match against the corrected map; the explicit shift
+        avoids a one-frame tracking glitch). Runs under the map lock."""
+        lf = self.tracker.last_frame
+        if lf is not None and lf.R is not None:
+            R_old = lf.R.copy()
+            lf.R = (R_old @ R_rel).astype(np.float32)
+            lf.t = (R_old @ t_rel + lf.t).astype(np.float32)
+        if self.tracker.velocity_w is not None:
+            # T_rel maps new world → old world; rotate velocity into new world
+            self.tracker.velocity_w = (
+                R_rel.T @ self.tracker.velocity_w).astype(np.float32)
+
+    def wait_idle(self, timeout: float = 300.0) -> bool:
+        """Drain the async pipeline (no-op in sync mode)."""
+        if self.runtime is None:
+            return True
+        return self.runtime.wait_idle(timeout)
+
+    def shutdown(self, timeout: float = 300.0):
+        """Join the mapper/loop/GBA threads (reference System::Shutdown
+        src/System.cc:421-453)."""
+        if self.runtime is not None:
+            self.runtime.shutdown(timeout)
+            self.runtime = None
 
     def _on_tracking_lost(self):
         """Sustained loss: spawn a fresh sub-map (reference CreateMapInAtlas)
@@ -101,29 +144,32 @@ class SlamSystem:
             closer = LoopCloser(cur, self._K, self._wh, fix_scale=self._bf > 0)
         for old in self.atlas.stored_maps():
             for k2 in old.valid_kf_ids()[::-1][:10]:
-                ok, S21 = closer._verify_candidate(kf_id, int(k2),
-                                                   map1=cur, map2=old)
+                with cur.lock, old.lock:
+                    ok, S21 = closer._verify_candidate(kf_id, int(k2),
+                                                       map1=cur, map2=old)
                 if not ok:
                     continue
-                # S21: x_kf2 = s R x_kf1 + t (camera frames). World alignment:
-                # W_old = T_kf2⁻¹ ∘ S21 ∘ T_kf1 (W_cur)
-                s, R21, t21 = S21
-                R1, t1 = cur.kf_R[kf_id], cur.kf_t[kf_id]
-                R2, t2 = old.kf_R[int(k2)], old.kf_t[int(k2)]
-                R_a = R2.T @ R21 @ R1
-                t_a = R2.T @ (s * (R21 @ t1) + t21 - t2)
-                self.atlas.merge_current_into(old, R_a.astype(np.float32),
-                                              t_a.astype(np.float32),
-                                              s_align=float(s))
-                self._bind_map(self.atlas.current)
-                self.tracker.map = self.atlas.current
-                # remap the live frame pose into the merged world
-                lf = self.tracker.last_frame
-                if lf is not None and lf.R is not None:
-                    R_new = lf.R @ R_a.T
-                    t_new = float(s) * lf.t - R_new @ t_a
-                    lf.R, lf.t = R_new.astype(np.float32), t_new.astype(np.float32)
-                self.tracker.ref_kf = int(old.valid_kf_ids()[-1])
+                with cur.lock, old.lock:
+                    # S21: x_kf2 = s R x_kf1 + t (camera frames). World
+                    # alignment: W_old = T_kf2⁻¹ ∘ S21 ∘ T_kf1 (W_cur)
+                    s, R21, t21 = S21
+                    R1, t1 = cur.kf_R[kf_id], cur.kf_t[kf_id]
+                    R2, t2 = old.kf_R[int(k2)], old.kf_t[int(k2)]
+                    R_a = R2.T @ R21 @ R1
+                    t_a = R2.T @ (s * (R21 @ t1) + t21 - t2)
+                    self.atlas.merge_current_into(old, R_a.astype(np.float32),
+                                                  t_a.astype(np.float32),
+                                                  s_align=float(s))
+                    self._bind_map(self.atlas.current)
+                    self.tracker.map = self.atlas.current
+                    # remap the live frame pose into the merged world
+                    lf = self.tracker.last_frame
+                    if lf is not None and lf.R is not None:
+                        R_new = lf.R @ R_a.T
+                        t_new = float(s) * lf.t - R_new @ t_a
+                        lf.R, lf.t = (R_new.astype(np.float32),
+                                      t_new.astype(np.float32))
+                    self.tracker.ref_kf = int(old.valid_kf_ids()[-1])
                 return True
         return False
 
@@ -136,7 +182,9 @@ class SlamSystem:
         if tr.last_frame is not None and tr.last_frame.R is not None:
             R_cur, t_cur = tr.last_frame.R.copy(), tr.last_frame.t.copy()
         for old in self.atlas.stored_maps():
-            if tr._relocalize(frame, in_map=old):
+            with old.lock:   # caller already holds the current map's lock
+                if not tr._relocalize(frame, in_map=old):
+                    continue
                 cur = self.atlas.current
                 if cur.n_kf >= 2 and R_cur is not None:
                     # alignment world_old ← world_cur from the dual pose:

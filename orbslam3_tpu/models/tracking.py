@@ -32,7 +32,7 @@ from ..ops import features as feat_ops
 from ..ops import lie
 from . import kernels
 from .frame import Frame, build_frame
-from .map import MapConfig, MapState
+from .map import MapConfig, MapState, locked_current
 
 
 class TrackState(Enum):
@@ -133,6 +133,9 @@ class Tracker:
         self.trajectory: list = []
         # callback the system wires to local mapping
         self.on_new_keyframe = None
+        # async backpressure: callable → bool (reference queue<3 gate,
+        # src/Tracking.cc:3626 + LocalMapping::AcceptKeyFrames)
+        self.mapper_accepting = None
 
         sf2 = self.map.level_sigma2
         self.inv_sigma2 = self.map.inv_level_sigma2
@@ -298,15 +301,16 @@ class Tracker:
         feats = self.extract(jnp.asarray(img))
         frame = build_frame(fid, ts, feats, self.K, self.D)
 
-        if self.state == TrackState.NOT_INITIALIZED:
-            ok = self._monocular_init(frame)
-            info = {"state": self.state.name, "init": ok}
-        else:
-            ok = self._track(frame)
-            info = {"state": self.state.name,
-                    "inliers": frame.n_matched() if ok else 0}
+        with locked_current(self):
+            if self.state == TrackState.NOT_INITIALIZED:
+                ok = self._monocular_init(frame)
+                info = {"state": self.state.name, "init": ok}
+            else:
+                ok = self._track(frame)
+                info = {"state": self.state.name,
+                        "inliers": frame.n_matched() if ok else 0}
 
-        self._log_trajectory(frame, tracked=ok)
+            self._log_trajectory(frame, tracked=ok)
         self.last_frame = frame
         return info
 
@@ -342,14 +346,15 @@ class Tracker:
         frame.ur = np.where(okn, urn, -1.0).astype(np.float32)
         frame.depth = np.where(okn, self.bf / np.maximum(disp, 1e-6), -1.0).astype(np.float32)
 
-        if self.state == TrackState.NOT_INITIALIZED:
-            done = self._stereo_init(frame)
-            info = {"state": self.state.name, "init": done}
-        else:
-            done = self._track(frame)
-            info = {"state": self.state.name,
-                    "inliers": frame.n_matched() if done else 0}
-        self._log_trajectory(frame, tracked=done)
+        with locked_current(self):
+            if self.state == TrackState.NOT_INITIALIZED:
+                done = self._stereo_init(frame)
+                info = {"state": self.state.name, "init": done}
+            else:
+                done = self._track(frame)
+                info = {"state": self.state.name,
+                        "inliers": frame.n_matched() if done else 0}
+            self._log_trajectory(frame, tracked=done)
         self.last_frame = frame
         return info
 
@@ -369,14 +374,15 @@ class Tracker:
         frame.depth = np.where(ok, z, -1.0).astype(np.float32)
         frame.ur = np.where(ok, frame.xy[:, 0] - self.bf / np.maximum(z, 1e-6),
                             -1.0).astype(np.float32)
-        if self.state == TrackState.NOT_INITIALIZED:
-            done = self._stereo_init(frame)
-            info = {"state": self.state.name, "init": done}
-        else:
-            done = self._track(frame)
-            info = {"state": self.state.name,
-                    "inliers": frame.n_matched() if done else 0}
-        self._log_trajectory(frame, tracked=done)
+        with locked_current(self):
+            if self.state == TrackState.NOT_INITIALIZED:
+                done = self._stereo_init(frame)
+                info = {"state": self.state.name, "init": done}
+            else:
+                done = self._track(frame)
+                info = {"state": self.state.name,
+                        "inliers": frame.n_matched() if done else 0}
+            self._log_trajectory(frame, tracked=done)
         self.last_frame = frame
         return info
 
@@ -877,7 +883,13 @@ class Tracker:
         n_tracked = frame.n_matched()
         c1a = frame.frame_id >= self.last_kf_frame_id + p.max_frames_between_kf
         c2 = (n_tracked < p.ref_ratio * n_ref) and n_tracked > 15
-        return c1a or c2
+        if not (c1a or c2):
+            return False
+        # backpressure (reference: mono inserts only when the mapper queue
+        # is short and LocalMapping accepts keyframes, src/Tracking.cc:3626)
+        if self.mapper_accepting is not None and not self.mapper_accepting():
+            return False
+        return True
 
     def _create_new_keyframe(self, frame: Frame):
         m = self.map
