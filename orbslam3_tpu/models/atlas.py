@@ -42,7 +42,9 @@ class Atlas:
                            t_align: np.ndarray, s_align: float = 1.0) -> MapState:
         """Merge the current map into `old_map` after the Sim3 alignment
         world_old = s·R·world_cur + t (reference MergeLocal2: rigid map
-        transform + migration of keyframes and map points)."""
+        transform + migration of keyframes and map points). The old→new
+        keyframe id mapping is left in ``self.last_merge_kf_map`` for the
+        caller's welding pass (reference MergeLocal's welding BA)."""
         cur = self.current
         kf_off_ids = {}
         # migrate keyframes
@@ -86,4 +88,5 @@ class Atlas:
         cur.mp_valid[:] = False
         self.current_idx = self.maps.index(old_map)
         self.merges += 1
+        self.last_merge_kf_map = kf_off_ids
         return old_map

@@ -34,6 +34,8 @@ class Frame:
     # stereo right-x / depth per feature (<0 = mono)
     ur: np.ndarray = field(default=None)
     depth: np.ndarray = field(default=None)
+    # two-camera rigs: right-eye pixel of the stereo match (<0 = none)
+    uvr: np.ndarray = field(default=None)
     # whether tracking succeeded for this frame (pose is trustworthy)
     tracked: bool = False
 

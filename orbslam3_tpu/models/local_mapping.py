@@ -42,6 +42,15 @@ class LocalMapper:
         # async hook: called with the anchor SE3 correction after a
         # propagated global BA so the tracker can shift its live frame
         self.on_poses_corrected = None
+        # inertial: Tracker backref (owns biases/preintegrations); set by the
+        # system for VI rigs. The staging logic itself runs here — in the
+        # reference it is the LocalMapping thread that drives InitializeIMU /
+        # VIBA1 / VIBA2 / ScaleRefinement (src/LocalMapping.cc:211-288)
+        self.inertial = None
+        self.vi_window = 10
+        self._vi_jit = {}
+        # two-camera rig (dict with cam_r/R_rl/t_rl) — adds ToBody residuals
+        self.rig = None
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, initial: bool = False,
@@ -64,9 +73,17 @@ class LocalMapper:
             self.create_new_map_points(kf_id)
             self.search_in_neighbors(kf_id)
         if abort_check is None or not abort_check():
-            self.local_ba(kf_id)
+            if (self.inertial is not None and self.inertial.imu_initialized):
+                # reference: LocalInertialBA replaces LocalBundleAdjustment
+                # once the map is IMU-initialized (src/LocalMapping.cc:153-187)
+                self.local_inertial_ba(kf_id)
+            else:
+                self.local_ba(kf_id)
             with m.lock:
                 self.cull_keyframes(kf_id)
+        if self.inertial is not None and self.inertial.imu_enabled:
+            with m.lock:
+                self._inertial_stage(kf_id)
 
     def _renormalize_initial_scale(self, kf_id: int):
         """After init BA, re-fix median depth to 1 (the BA may drift the gauge
@@ -208,6 +225,9 @@ class LocalMapper:
     def _fuse_into(self, mp_ids: np.ndarray, target_kf: int, cap: int):
         import jax.numpy as jnp
         m = self.map
+        if not hasattr(self, "_fuse_match"):
+            self._fuse_match = kernels.projection_matcher(
+                self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale)
         mp_ids = mp_ids[m.mp_valid[mp_ids]][:cap]
         if len(mp_ids) == 0:
             return
@@ -262,15 +282,15 @@ class LocalMapper:
                        max_cull_per_run: int = 2):
         """Redundant-keyframe culling (reference KeyFrameCulling
         src/LocalMapping.cc:1218: a covisible KF whose ≥90% of map points are
-        observed by ≥3 other keyframes is removed; the scale-consistency
-        refinement and the inertial temporal-chain protections are later-round
-        items — the first two keyframes are always kept)."""
-        if getattr(self, "preserve_temporal_chain", False):
-            # inertial maps: culling breaks the mPrevKF preintegration chain
-            # (the reference's KeyFrameCulling has dedicated inertial
-            # protections + preintegration merging; until those land, keep all)
-            return
+        observed by ≥3 other keyframes is removed; first two keyframes always
+        kept). Inertial maps follow the reference's temporal-chain protections
+        (:1296-1390): culling must not open a gap > 0.5 s (3 s once VIBA2 has
+        run), and the culled keyframe's preintegration merges into its
+        successor's (IMU::Preintegrated::MergePrevious)."""
         m = self.map
+        tr = self.inertial
+        inertial = (tr is not None and tr.imu_enabled
+                    and getattr(self, "preserve_temporal_chain", True))
         candidates = [int(k) for k in m.best_covisible(kf_id, 20, min_weight=15)]
         obs = m.obs_count()
         n_culled = 0
@@ -283,22 +303,44 @@ class LocalMapper:
             if len(mps) < 20:
                 continue
             redundant = (obs[mps] >= 4).mean()   # self + ≥3 others
-            if redundant > redundancy:
-                m.remove_keyframe(k)
-                self.stats["culled_kf"] = self.stats.get("culled_kf", 0) + 1
-                n_culled += 1
-                if n_culled >= max_cull_per_run:
-                    break
+            if redundant <= redundancy:
+                continue
+            if inertial:
+                valid = m.valid_kf_ids()
+                pos = np.searchsorted(valid, k)
+                if pos == 0 or pos >= len(valid) - 1:
+                    continue
+                prev_k = int(valid[pos - 1])
+                next_k = int(valid[pos + 1])
+                gap = float(m.kf_ts[next_k] - m.kf_ts[prev_k])
+                limit = 3.0 if tr.viba2_done else 0.5
+                if gap > limit:
+                    continue
+                # merge the preintegration chain across the culled keyframe
+                pk = tr.kf_preints.get(k)
+                pn = tr.kf_preints.get(next_k)
+                if pk is not None and pn is not None:
+                    from ..ops import imu as imu_ops
+                    tr.kf_preints[next_k] = imu_ops.compose(pk, pn)
+                tr.kf_preints.pop(k, None)
+            m.remove_keyframe(k)
+            self.stats["culled_kf"] = self.stats.get("culled_kf", 0) + 1
+            n_culled += 1
+            if n_culled >= max_cull_per_run:
+                break
 
     # ------------------------------------------------------------------
-    def local_ba(self, kf_id: int, iters: tuple[int, int] = (5, 10)):
+    def local_ba(self, kf_id: int, iters: tuple[int, int] = (5, 10),
+                 fix_all_poses: bool = False):
         """Reference LocalBundleAdjustment (src/Optimizer.cc:1858): window =
         KF + covisibles; fixed = other observers (min 2); two-phase schedule.
         The problem is gathered and written back under the map lock; the
-        device solve runs on the gathered (immutable) snapshot outside it."""
+        device solve runs on the gathered (immutable) snapshot outside it.
+        ``fix_all_poses`` turns it into structure-only refinement (used as the
+        landmark half of the alternating local inertial BA)."""
         m = self.map
         with m.lock:
-            prob_data = self._gather_local_ba(kf_id)
+            prob_data = self._gather_local_ba(kf_id, fix_all_poses)
         if prob_data is None:
             return
         prob, all_kfs, fixed_mask, pts, o_src_kf, o_src_feat, n_obs = prob_data
@@ -313,14 +355,15 @@ class LocalMapper:
                     m.kf_t[k] = tn[i]
             keep = m.mp_valid[pts]
             m.mp_xyz[pts[keep]] = np.asarray(res.pts)[: len(pts)][keep]
-            # erase outlier observations (reference :2270 area)
+            # erase outlier observations (reference :2270 area); second-camera
+            # rows carry src_feat = -1 and never erase the left observation
             inl = np.asarray(res.obs_inlier)[: n_obs]
-            bad = ~inl
+            bad = ~inl & (o_src_feat >= 0)
             if bad.any():
                 m.kf_feat_mp[o_src_kf[bad], o_src_feat[bad]] = -1
         self.stats["ba_runs"] += 1
 
-    def _gather_local_ba(self, kf_id: int):
+    def _gather_local_ba(self, kf_id: int, fix_all_poses: bool = False):
         m = self.map
         window = [kf_id] + [int(k) for k in m.best_covisible(kf_id, self.ba_window - 1, min_weight=15)]
         window = list(dict.fromkeys(window))
@@ -347,6 +390,8 @@ class LocalMapper:
                 if not fixed_mask[idx]:
                     fixed_mask[idx] = True
                     n_need -= 1
+        if fix_all_poses:
+            fixed_mask[:] = True
 
         kf_lut = np.full(m.cfg.max_keyframes, -1, np.int32)
         kf_lut[np.asarray(all_kfs)] = np.arange(len(all_kfs))
@@ -361,6 +406,21 @@ class LocalMapper:
         o_is2 = m.inv_level_sigma2[m.kf_feat_octave[kf_idx[sel], feat_idx[sel]]]
         o_src_kf = kf_idx[sel]
         o_src_feat = feat_idx[sel]
+        o_cam = np.zeros(len(o_kf), np.int32)
+        if self.rig is not None:
+            # second-camera (ToBody) rows for stereo-matched features
+            uvr = m.kf_feat_uvr[kf_idx[sel], feat_idx[sel]]
+            has_r = uvr[:, 0] >= 0
+            o_kf = np.concatenate([o_kf, o_kf[has_r]])
+            o_mp = np.concatenate([o_mp, o_mp[has_r]])
+            o_uv = np.concatenate([o_uv, uvr[has_r]])
+            o_ur = np.concatenate([o_ur, np.full(has_r.sum(), -1.0, np.float32)])
+            o_is2 = np.concatenate([o_is2, o_is2[has_r]])
+            # right rows must not clear the (left) observation on outlier
+            o_src_kf = np.concatenate([o_src_kf, o_src_kf[has_r]])
+            o_src_feat = np.concatenate([o_src_feat,
+                                         np.full(has_r.sum(), -1, np.int64)])
+            o_cam = np.concatenate([o_cam, np.ones(has_r.sum(), np.int32)])
 
         # pad to static buckets
         Kb = self._bucket(len(all_kfs), [4, 8, 12, 16, 24, 32])
@@ -389,8 +449,22 @@ class LocalMapper:
             fixed_pose=jnp.asarray(pad(fixed_mask, Kb, True)),
             obs_ur=jnp.asarray(pad(o_ur.astype(np.float32), Ob, -1.0)),
             bf=jnp.asarray(self.bf, jnp.float32),
+            **self._rig_fields(o_cam, Ob),
         )
         return prob, all_kfs, fixed_mask, pts, o_src_kf, o_src_feat, len(o_kf)
+
+    def _rig_fields(self, o_cam, Ob):
+        """Second-camera BAProblem fields (empty for single-camera rigs)."""
+        if self.rig is None:
+            return {}
+        out = np.zeros(Ob, np.int32)
+        out[: len(o_cam)] = o_cam
+        return dict(
+            obs_cam=jnp.asarray(out),
+            cam_params2=jnp.asarray(self.rig["cam_r"], jnp.float32),
+            R_rl=jnp.asarray(self.rig["R_rl"], jnp.float32),
+            t_rl=jnp.asarray(self.rig["t_rl"], jnp.float32),
+        )
 
     def global_ba(self, iters: tuple[int, int] = (4, 6), abort_check=None,
                   propagate: bool = False) -> bool:
@@ -423,6 +497,18 @@ class LocalMapper:
             o_uv = m.kf_feat_xy[kf_idx[sel], feat_idx[sel]]
             o_ur = m.kf_feat_ur[kf_idx[sel], feat_idx[sel]]
             o_is2 = m.inv_level_sigma2[m.kf_feat_octave[kf_idx[sel], feat_idx[sel]]]
+            o_cam = np.zeros(len(o_kf), np.int32)
+            if self.rig is not None:
+                uvr = m.kf_feat_uvr[kf_idx[sel], feat_idx[sel]]
+                has_r = uvr[:, 0] >= 0
+                o_kf = np.concatenate([o_kf, o_kf[has_r]])
+                o_mp = np.concatenate([o_mp, o_mp[has_r]])
+                o_uv = np.concatenate([o_uv, uvr[has_r]])
+                o_ur = np.concatenate([o_ur,
+                                       np.full(has_r.sum(), -1.0, np.float32)])
+                o_is2 = np.concatenate([o_is2, o_is2[has_r]])
+                o_cam = np.concatenate([o_cam,
+                                        np.ones(has_r.sum(), np.int32)])
 
         Kb = self._bucket(len(kfs), [16, 32, 64, 96, 128, 192, 256, 384, 512])
         Pb = self._bucket(len(pts), [1024, 2048, 4096])
@@ -452,6 +538,7 @@ class LocalMapper:
             fixed_pose=jnp.asarray(pad(fixed_mask, Kb, True)),
             obs_ur=jnp.asarray(pad(o_ur.astype(np.float32), Ob, -1.0)),
             bf=jnp.asarray(self.bf, jnp.float32),
+            **self._rig_fields(o_cam, Ob),
         )
         # phase 1 (outlier classification happens inside), then phase 2 in
         # abortable chunks of 2 LM iterations
@@ -514,6 +601,180 @@ class LocalMapper:
                                             ta_rel.astype(np.float32))
         self.stats["gba_runs"] = self.stats.get("gba_runs", 0) + 1
         return True
+
+    # ------------------------------------------------------------------
+    # inertial
+    # ------------------------------------------------------------------
+    def _inertial_stage(self, kf_id: int):
+        """IMU initialization staging (reference src/LocalMapping.cc:211-288):
+        InitializeIMU with strong priors → VIBA1 at mTinit>5 s (priors 1, 1e5)
+        → VIBA2 at >15 s (priors 0, 0) → scale-refinement windows every ~10 s
+        until the map has 100 keyframes (mono only)."""
+        tr = self.inertial
+        m = self.map
+        if not tr.imu_enabled:
+            return
+        if not tr.imu_initialized:
+            tr.try_imu_init()
+            return
+        ts = float(m.kf_ts[kf_id])
+        tinit = ts - tr.imu_init_ts
+        if not tr.viba1_done and tinit > 5.0:
+            if tr.try_imu_init(refine=True, prior_g=1.0, prior_a=1e5):
+                self.stats["viba1"] = 1
+            tr.viba1_done = True
+        elif not tr.viba2_done and tinit > 15.0:
+            if tr.try_imu_init(refine=True, prior_g=0.0, prior_a=0.0):
+                self.stats["viba2"] = 1
+            tr.viba2_done = True
+        elif (self.bf <= 0 and tr.viba2_done and m.n_kf <= 100
+              and ts - max(tr.imu_init_ts + 15.0, tr.last_scale_refine_ts) > 10.0):
+            tr.last_scale_refine_ts = ts
+            if tr.try_imu_init(refine=True, fix_bias=True):
+                self.stats["scale_refines"] = self.stats.get("scale_refines", 0) + 1
+
+    def local_inertial_ba(self, kf_id: int, iters: int = 8):
+        """Local inertial BA (reference LocalInertialBA src/Optimizer.cc:4314:
+        temporal window of 10 keyframes linked by mPrevKF preintegration edges
+        + visual edges, boundary fixed). TPU formulation: alternate one
+        structure-only visual refinement (poses fixed) with a pose/velocity/
+        bias smoother over the temporal window (landmarks fixed) — one round
+        of block-coordinate descent on the reference's joint problem."""
+        from ..ops import vi_ba as vi_ops
+        import functools
+        import jax
+        tr = self.inertial
+        m = self.map
+        # landmark half
+        self.local_ba(kf_id, fix_all_poses=True)
+        with m.lock:
+            data = self._gather_vi_window(kf_id)
+        if data is None:
+            return
+        (window, n_win, Kb, args) = data
+        key = (Kb, args["obs_uv"].shape[0])
+        if key not in self._vi_jit:
+            self._vi_jit[key] = jax.jit(functools.partial(
+                vi_ops.vi_window_optimize, cam_type=self.cam_type,
+                iters=iters, prior_g=1e2, prior_a=1e5))
+        res = self._vi_jit[key](
+            args["R0"], args["t0"], args["vels0"], args["bg0"], args["ba0"],
+            args["pts_w"], args["obs_kf"], args["obs_uv"],
+            args["obs_inv_sigma2"], args["obs_valid"],
+            args["dT"], args["dR"], args["dV"], args["dP"],
+            args["JRg"], args["JVg"], args["JVa"], args["JPg"], args["JPa"],
+            args["pre_cov"], args["pair_valid"], args["cam_params"],
+            args["fixed_pose"])
+        Rn = np.asarray(res.R)
+        tn = np.asarray(res.t)
+        vn = np.asarray(res.vels)
+        if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
+            return
+        with m.lock:
+            for i, k in enumerate(window):
+                if i == 0 or not m.kf_valid[k]:
+                    continue   # boundary fixed
+                m.kf_R[k] = Rn[i]
+                m.kf_t[k] = tn[i]
+                m.kf_vel[k] = vn[i]
+            bg = np.asarray(res.bg, np.float32)
+            ba = np.asarray(res.ba, np.float32)
+            if np.isfinite(bg).all() and np.isfinite(ba).all():
+                tr.imu_bias_g = bg
+                tr.imu_bias_a = ba
+                m.kf_bias_g[window] = bg
+                m.kf_bias_a[window] = ba
+        self.stats["vi_ba_runs"] = self.stats.get("vi_ba_runs", 0) + 1
+
+    def _gather_vi_window(self, kf_id: int):
+        """Gather the temporal window + preintegration chain + visual obs."""
+        import jax.numpy as jnp
+        tr = self.inertial
+        m = self.map
+        kfs = [int(k) for k in m.valid_kf_ids() if k <= kf_id]
+        window = kfs[-self.vi_window:]
+        n_win = len(window)
+        if n_win < 3:
+            return None
+        Kb = self.vi_window
+        # preintegration chain (pair i connects window[i] → window[i+1])
+        pre, pair_ok = [], []
+        from ..ops import imu as imu_ops
+        zero = imu_ops.init_state()
+        for i in range(1, n_win):
+            k = window[i]
+            p = tr.kf_preints.get(k)
+            dt_kf = float(m.kf_ts[k] - m.kf_ts[window[i - 1]])
+            if p is not None and abs(float(p.dT) - dt_kf) < 0.02:
+                pre.append(p)
+                pair_ok.append(True)
+            else:
+                pre.append(zero)
+                pair_ok.append(False)
+        if not any(pair_ok):
+            return None
+        while len(pre) < Kb - 1:
+            pre.append(zero)
+            pair_ok.append(False)
+
+        # visual observations of the window (landmarks held fixed)
+        o_kf, o_uv, o_is2, o_mp = [], [], [], []
+        for i, k in enumerate(window):
+            row = m.kf_feat_mp[k]
+            sel = np.nonzero((row >= 0) & m.kf_feat_valid[k])[0]
+            sel = sel[m.mp_valid[row[sel]]]
+            o_kf.append(np.full(len(sel), i, np.int32))
+            o_uv.append(m.kf_feat_xy[k, sel])
+            o_is2.append(m.inv_level_sigma2[m.kf_feat_octave[k, sel]])
+            o_mp.append(row[sel])
+        o_kf = np.concatenate(o_kf)
+        o_uv = np.concatenate(o_uv)
+        o_is2 = np.concatenate(o_is2)
+        o_mp = np.concatenate(o_mp)
+        Ob = self._bucket(len(o_kf), [1024, 2048, 4096, 8192, 16384])
+        if Ob is None:
+            keep = np.random.default_rng(0).permutation(len(o_kf))[:16384]
+            o_kf, o_uv, o_is2, o_mp = (o_kf[keep], o_uv[keep], o_is2[keep],
+                                       o_mp[keep])
+            Ob = 16384
+
+        def pad(a, n, fill=0):
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        R0 = np.tile(np.eye(3, dtype=np.float32), (Kb, 1, 1))
+        R0[:n_win] = m.kf_R[window]
+        fixed = np.ones(Kb, bool)
+        fixed[1:n_win] = False
+        fixed[0] = True
+        stack9 = lambda attr: jnp.asarray(np.stack(
+            [np.asarray(getattr(s, attr), np.float32) for s in pre]))
+        cov = jnp.asarray(np.stack(
+            [np.asarray(s.C, np.float32)[:9, :9] for s in pre]))
+        # visual-noise floor on the whitening (same rationale as imu_init)
+        cov = cov + jnp.diag(jnp.asarray(
+            [1e-6] * 3 + [1e-4] * 3 + [1e-5] * 3, jnp.float32))
+        args = dict(
+            R0=jnp.asarray(R0),
+            t0=jnp.asarray(pad(m.kf_t[window], Kb)),
+            vels0=jnp.asarray(pad(m.kf_vel[window], Kb)),
+            bg0=jnp.asarray(tr.imu_bias_g),
+            ba0=jnp.asarray(tr.imu_bias_a),
+            pts_w=jnp.asarray(pad(m.mp_xyz[o_mp].astype(np.float32), Ob)),
+            obs_kf=jnp.asarray(pad(o_kf, Ob)),
+            obs_uv=jnp.asarray(pad(o_uv.astype(np.float32), Ob)),
+            obs_inv_sigma2=jnp.asarray(pad(o_is2.astype(np.float32), Ob, 1.0)),
+            obs_valid=jnp.asarray(pad(np.ones(len(o_kf), bool), Ob, False)),
+            dT=stack9("dT"), dR=stack9("dR"), dV=stack9("dV"), dP=stack9("dP"),
+            JRg=stack9("JRg"), JVg=stack9("JVg"), JVa=stack9("JVa"),
+            JPg=stack9("JPg"), JPa=stack9("JPa"),
+            pre_cov=cov,
+            pair_valid=jnp.asarray(np.asarray(pair_ok)),
+            cam_params=jnp.asarray(self.K),
+            fixed_pose=jnp.asarray(fixed),
+        )
+        return np.asarray(window, np.int64), n_win, Kb, args
 
     def _run_ba(self, prob, iters):
         if self._ba_jit is None:

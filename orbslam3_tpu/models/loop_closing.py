@@ -101,26 +101,67 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _detect_candidates(self, kf_id: int, n_best: int = 3) -> np.ndarray:
+        """Reference DetectNBestCandidates (src/KeyFrameDatabase.cc:67 +
+        candidate scheme :107-249): count keyframes sharing words (excluding
+        the query's covisible group), keep > 0.8·maxCommonWords, accumulate
+        covisibility-group scores, keep > 0.75·bestAccScore, return the
+        n-best group leads. With a dense BoW database both the common-word
+        counts and the L1 scores are single matmul-like kernels — the
+        inverted file is unnecessary."""
         m = self.map
         covis = m.covisibility_row(kf_id)
         neighbors = np.nonzero(covis >= 15)[0]
-        # minScore over covisible neighbors (reference DetectLoopCandidates)
         q = jnp.asarray(self.bow_db[kf_id])
         valid_ids = np.nonzero(self.bow_filled[: m.n_kf] & m.kf_valid[: m.n_kf])[0]
         if len(valid_ids) == 0:
             return np.zeros(0, np.int64)
-        scores = np.asarray(vocab_ops.l1_scores(q, jnp.asarray(self.bow_db[valid_ids])))
-        sc = dict(zip(valid_ids, scores))
-        min_score = min((sc[n] for n in neighbors if n in sc), default=0.05)
-        mask = np.ones(len(valid_ids), bool)
-        mask &= ~np.isin(valid_ids, neighbors)
-        mask &= valid_ids != kf_id
-        mask &= valid_ids < kf_id - self.exclude_recent
-        mask &= scores >= max(min_score, 1e-4)
-        cand = valid_ids[mask]
-        cand_scores = scores[mask]
-        order = np.argsort(-cand_scores)
-        return cand[order[:n_best]]
+        db = jnp.asarray(self.bow_db[valid_ids])
+        scores = np.asarray(vocab_ops.l1_scores(q, db))
+        # common-word counts: boolean intersection sizes (one matvec)
+        common = np.asarray(jnp.sum((db > 0) & (q > 0)[None, :], axis=-1))
+
+        eligible = np.ones(len(valid_ids), bool)
+        eligible &= ~np.isin(valid_ids, neighbors)
+        eligible &= valid_ids != kf_id
+        eligible &= valid_ids < kf_id - self.exclude_recent
+        eligible &= common > 0
+        if not eligible.any():
+            return np.zeros(0, np.int64)
+        max_common = common[eligible].max()
+        eligible &= common > 0.8 * max_common
+        cand = valid_ids[eligible]
+        if len(cand) == 0:
+            return np.zeros(0, np.int64)
+        sc = np.zeros(m.n_kf, np.float32)
+        sc[valid_ids] = scores
+        shares = np.zeros(m.n_kf, bool)
+        shares[valid_ids[common > 0]] = True
+        # accumulate scores over each candidate's top-10 covisible group;
+        # the group lead is its best-scoring member
+        acc_scores = np.zeros(len(cand), np.float32)
+        leads = np.zeros(len(cand), np.int64)
+        neighbor_set = set(int(x) for x in neighbors)
+        for i, c in enumerate(cand):
+            group = [int(c)] + [int(g) for g in m.best_covisible(int(c), 10,
+                                                                 min_weight=15)]
+            # group members must satisfy the query's own exclusions, or the
+            # lead can degenerate to a covisible keyframe (a self-loop whose
+            # Sim3 is a no-op but which blocks real detections)
+            group = [g for g in group if g < kf_id - self.exclude_recent
+                     and g not in neighbor_set and g != kf_id]
+            gsc = [(sc[g] if shares[g] else 0.0) for g in group]
+            acc_scores[i] = float(np.sum(gsc))
+            leads[i] = group[int(np.argmax(gsc))] if group else int(c)
+        best_acc = acc_scores.max()
+        keep = acc_scores > 0.75 * best_acc
+        order = np.argsort(-acc_scores[keep])
+        out = []
+        for lead in leads[keep][order]:
+            if lead not in out:
+                out.append(int(lead))
+            if len(out) >= n_best:
+                break
+        return np.asarray(out, np.int64)
 
     # ------------------------------------------------------------------
     def _verify_candidate(self, kf1: int, kf2: int, map1=None, map2=None):
@@ -149,6 +190,10 @@ class LoopCloser:
         f1, f2, mp1, mp2 = f1[sel], f2[sel], mp1[sel], mp2[sel]
         n = len(mp1)
         if n < 15:
+            return False, None
+        # degenerate guard: a same-map "loop" whose matches are mostly the
+        # SAME landmarks carries no closure information (its Sim3 is a no-op)
+        if m is m2 and n and (mp1 == mp2).mean() > 0.5:
             return False, None
         # camera-frame 3D positions
         x1 = m.mp_xyz[mp1] @ m.kf_R[kf1].T + m.kf_t[kf1]

@@ -86,6 +86,16 @@ class MapState:
         # stereo (right x-coordinate, <0 ⇒ mono observation) and depth
         self.kf_feat_ur = np.full((K, N), -1.0, np.float32)
         self.kf_feat_depth = np.full((K, N), -1.0, np.float32)
+        # two-camera (fisheye) rigs: right-eye pixel of the stereo match
+        # (<0 ⇒ none; reference keeps full right-eye keypoint sets — here the
+        # right observation of each matched left feature, enough for the
+        # ToBody BA residuals that anchor metric scale)
+        self.kf_feat_uvr = np.full((K, N, 2), -1.0, np.float32)
+        # inertial per-KF state (reference KeyFrame::mVw / bias accessors,
+        # include/KeyFrame.h:191-226); written once IMU-initialized
+        self.kf_vel = np.zeros((K, 3), np.float32)
+        self.kf_bias_g = np.zeros((K, 3), np.float32)
+        self.kf_bias_a = np.zeros((K, 3), np.float32)
         self.n_kf = 0
 
         # --- map-point pool ---
@@ -111,7 +121,7 @@ class MapState:
     # keyframes
     # ------------------------------------------------------------------
     def add_keyframe(self, R, t, ts, frame_id, xy, angle, octave, desc, fvalid,
-                     feat_mp=None, ur=None, depth=None) -> int:
+                     feat_mp=None, ur=None, depth=None, uvr=None) -> int:
         k = self.n_kf
         if k >= self.cfg.max_keyframes:
             raise RuntimeError("keyframe pool exhausted")
@@ -132,6 +142,8 @@ class MapState:
             self.kf_feat_ur[k, :n] = ur
         if depth is not None:
             self.kf_feat_depth[k, :n] = depth
+        if uvr is not None:
+            self.kf_feat_uvr[k, :n] = uvr
         self.n_kf += 1
         return k
 

@@ -63,6 +63,8 @@ class SlamSystem:
         self.mapper.bf = self._bf
         self.mapper.preserve_temporal_chain = getattr(
             self.tracker, "imu_enabled", False)
+        self.mapper.inertial = self.tracker
+        self.mapper.rig = getattr(self.tracker, "rig", None)
         self.loop_closer = None
         if self._enable_lc:
             from .loop_closing import LoopCloser
@@ -160,6 +162,7 @@ class SlamSystem:
                     self.atlas.merge_current_into(old, R_a.astype(np.float32),
                                                   t_a.astype(np.float32),
                                                   s_align=float(s))
+                    kf_map = self.atlas.last_merge_kf_map
                     self._bind_map(self.atlas.current)
                     self.tracker.map = self.atlas.current
                     # remap the live frame pose into the merged world
@@ -170,8 +173,31 @@ class SlamSystem:
                         lf.R, lf.t = (R_new.astype(np.float32),
                                       t_new.astype(np.float32))
                     self.tracker.ref_kf = int(old.valid_kf_ids()[-1])
+                    # welding pass (reference MergeLocal :2028: fuse
+                    # duplicated landmarks across the weld, then a local
+                    # welding BA around the seam)
+                    nk = kf_map.get(int(kf_id))
+                    if nk is not None:
+                        self._weld(nk, int(k2))
                 return True
         return False
+
+    def _weld(self, nk: int, k2: int, cap: int = 4096):
+        """Fuse duplicated landmarks between the migrated keyframe ``nk`` and
+        the matched old-map region around ``k2``, then run a welding local BA
+        (reference MergeLocal: SearchAndFuse on the welding windows + local
+        BA, src/LoopClosing.cc:1885-2060)."""
+        m = self.atlas.current
+        mapper = self.mapper
+        group2 = np.concatenate([[k2], m.best_covisible(k2, 5, min_weight=15)])
+        pts2 = m.local_map_points(group2.astype(np.int32))
+        mapper._fuse_into(pts2, nk, cap)
+        row = m.kf_feat_mp[nk]
+        pts_nk = np.unique(row[row >= 0])
+        for t in group2:
+            mapper._fuse_into(pts_nk, int(t), cap)
+        m.refresh_map_points(pts_nk)
+        mapper.local_ba(nk)
 
     def _try_cross_map_reloc(self, frame) -> bool:
         """Relocalize into a stored map; success merges the current map into it
@@ -227,6 +253,22 @@ class SlamSystem:
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float) -> dict:
         t0 = time.perf_counter()
         info = self.tracker.process_stereo_frame(img_l, img_r, ts)
+        self.frame_times.append(time.perf_counter() - t0)
+        return info
+
+    def set_fisheye_rig(self, cam_r, R_rl, t_rl, lap_l=(0.0, 1e9),
+                        lap_r=(0.0, 1e9)):
+        """Two-camera fisheye rig (reference Camera2.* + Tlr YAML keys)."""
+        self.tracker.set_fisheye_rig(cam_r, R_rl, t_rl, lap_l, lap_r)
+        self._bf = self.tracker.bf
+        self.mapper.bf = self.tracker.bf
+        self.mapper.rig = self.tracker.rig
+
+    def track_stereo_fisheye(self, img_l: np.ndarray, img_r: np.ndarray,
+                             ts: float) -> dict:
+        """Two-camera fisheye step (reference TrackStereo with KB8 cameras)."""
+        t0 = time.perf_counter()
+        info = self.tracker.process_fisheye_stereo_frame(img_l, img_r, ts)
         self.frame_times.append(time.perf_counter() - t0)
         return info
 

@@ -67,6 +67,14 @@ class TrackingParams:
     # local map sizes
     max_local_kfs: int = 20
     max_local_mps: int = 4096
+    # TrackLocalMap match→optimize passes (re-match at the refined pose).
+    # >1 and pose_starts>1 are optional robustifications (nearly free on TPU);
+    # multi-seed sweeps (scripts/sweep_tracking.py) show no consistent win on
+    # the synthetic fixtures, so the defaults stay at the reference's shape.
+    local_passes: int = 1
+    # multi-start pose optimization (1 = single start; >1 = batched LM from
+    # depth-axis-perturbed starts, winner by robust cost)
+    pose_starts: int = 1
 
 
 class Tracker:
@@ -92,12 +100,15 @@ class Tracker:
         # (reference ThDepth, typically 35..40 x baseline)
         self.bf = float(bf)
         self.th_depth = float(th_depth)
+        # two-camera fisheye rig (reference Camera2.* + Tlr; set_fisheye_rig)
+        self.rig = None
 
         self.state = TrackState.NOT_INITIALIZED
         self.extract = feat_ops.make_extractor(int(wh[1]), int(wh[0]), orb_cfg)
         self.match_init = kernels.init_matcher()
         self.two_view = kernels.two_view_kernel(sigma_n=1.0 / float(self.K[0]))
-        self.pose_opt = kernels.pose_opt_kernel(cam_type=self.cam_type)
+        self.pose_opt = kernels.pose_opt_kernel(
+            cam_type=self.cam_type, n_starts=self.p.pose_starts)
         self.proj_match = kernels.projection_matcher(
             self.cam_type, orb_cfg.n_levels, orb_cfg.scale)
 
@@ -108,6 +119,12 @@ class Tracker:
         self.imu_noise = (1.7e-4, 2e-3, 1e-5, 1e-4)  # (gyro, acc, gyro walk, acc walk)
         self.imu_queue: list = []       # (ts, gyro(3), acc(3)) tuples
         self.imu_initialized = False
+        # staging flags (reference mbIMU_BA1/mbIMU_BA2 + mTinit,
+        # src/LocalMapping.cc:244-288)
+        self.imu_init_ts = 0.0
+        self.viba1_done = False
+        self.viba2_done = False
+        self.last_scale_refine_ts = 0.0
         self.imu_bias_g = np.zeros(3, np.float32)
         self.imu_bias_a = np.zeros(3, np.float32)
         self.velocity_w: np.ndarray | None = None   # body velocity in world
@@ -215,13 +232,23 @@ class Tracker:
         frame.t = (-R2.T @ p2).astype(np.float32)
         return True
 
-    def try_imu_init(self, min_kfs: int = 8) -> bool:
-        """Inertial-only init: gravity + scale + biases (reference InitializeIMU
-        src/LocalMapping.cc:1559 stage 1). Gravity-aligns and rescales the map."""
+    def try_imu_init(self, min_kfs: int = 8, prior_g: float | None = None,
+                     prior_a: float | None = None, refine: bool = False,
+                     fix_bias: bool = False) -> bool:
+        """Inertial-only MAP: gravity + scale + biases + velocities (reference
+        InitializeIMU src/LocalMapping.cc:1559). First call gravity-aligns and
+        rescales the map (stage 1); with ``refine=True`` it re-estimates with
+        the given priors on an already-initialized map — the reference's VIBA1
+        (priors 1, 1e5 at mTinit>5 s) and VIBA2 (0, 0 at >15 s) call the same
+        routine (src/LocalMapping.cc:244-273). ``fix_bias`` pins biases with
+        huge priors (the reference's ScaleRefinement :1770 optimizes only
+        scale + gravity direction)."""
         import jax.numpy as jnp
         from ..ops import imu_init as ii
         m = self.map
-        if self.imu_initialized or not self.imu_enabled:
+        if not self.imu_enabled or (self.imu_initialized and not refine):
+            return False
+        if refine and not self.imu_initialized:
             return False
         from ..ops import imu as imu_ops
         kfs = [int(k) for k in m.valid_kf_ids()]
@@ -258,17 +285,30 @@ class Tracker:
         pair_ok = np.ones(len(pre), bool)
         stack = lambda attr: jnp.asarray(np.stack([np.asarray(getattr(s, attr)) for s in pre]))
         cov = jnp.asarray(np.stack([np.asarray(s.C)[:9, :9] for s in pre]))
+        if prior_g is None:
+            prior_g = 1e2
+        if prior_a is None:
+            prior_a = 1e10 if self.bf <= 0 else 1e5
+        if fix_bias:
+            prior_g = prior_a = 1e12
         res = ii.inertial_init(
             jnp.asarray(R_wb.astype(np.float32)), jnp.asarray(p_wb.astype(np.float32)),
             stack("dT"), stack("dR"), stack("dV"), stack("dP"),
             stack("JRg"), stack("JVg"), stack("JVa"), stack("JPg"), stack("JPa"),
             jnp.asarray(pair_ok), cov=cov,
             opt_scale=(self.bf <= 0), iters=40,
-            prior_g=1e2, prior_a=1e10 if self.bf <= 0 else 1e5)
+            prior_g=prior_g, prior_a=prior_a)
         s = float(res.scale)
-        if not (0.02 < s < 50.0) or not np.isfinite(s):
+        s_lo, s_hi = (0.02, 50.0) if not refine else (0.5, 2.0)
+        if not (s_lo < s < s_hi) or not np.isfinite(s):
             return False
         Rwg = np.asarray(res.Rwg)
+        if refine:
+            # a refinement pass on an initialized (gravity-aligned) map must
+            # stay a small correction; reject wild gravity re-estimates
+            ang = np.arccos(np.clip((np.trace(Rwg) - 1.0) / 2.0, -1.0, 1.0))
+            if ang > 0.35:
+                return False
         # world' = s · Rgw · world with Rgw = Rwg⁻¹ (gravity → -z)
         from ..ops import imu_init as ii2
         kfs_all = m.valid_kf_ids()
@@ -284,10 +324,28 @@ class Tracker:
             self.last_frame.R = (self.last_frame.R @ Rwg).astype(np.float32)
             self.last_frame.t = (self.last_frame.t * s).astype(np.float32)
         vels = np.asarray(res.vels)
-        self.velocity_w = (s * (Rwg.T @ vels[-1])).astype(np.float32)
+        # per-KF velocities (reference SetVelocity in InitializeIMU): solved
+        # ones for the chain, finite differences of the corrected poses for
+        # the rest
+        ctr = -np.einsum("kij,ki->kj", m.kf_R[kfs_all].transpose(0, 2, 1),
+                         m.kf_t[kfs_all])
+        tss = m.kf_ts[kfs_all]
+        if len(kfs_all) >= 2:
+            dt = np.gradient(tss)
+            dt = np.maximum(dt, 1e-3)
+            v_fd = np.gradient(ctr, axis=0) / dt[:, None]
+            m.kf_vel[kfs_all] = v_fd.astype(np.float32)
+        v_chain = (s * (vels @ Rwg)).astype(np.float32)   # s·Rwgᵀ·v, rowwise
+        m.kf_vel[np.asarray(chain)] = v_chain
+        m.kf_bias_g[kfs_all] = np.asarray(res.bg, np.float32)
+        m.kf_bias_a[kfs_all] = np.asarray(res.ba, np.float32)
+        if self.velocity_w is not None or not refine:
+            self.velocity_w = v_chain[-1]
         self.imu_bias_g = np.asarray(res.bg, np.float32)
         self.imu_bias_a = np.asarray(res.ba, np.float32)
         self.velocity = None  # const-velocity model invalid across rescale
+        if not self.imu_initialized:
+            self.imu_init_ts = float(m.kf_ts[kfs[-1]])
         self.imu_initialized = True
         return True
 
@@ -358,6 +416,73 @@ class Tracker:
         self.last_frame = frame
         return info
 
+    def set_fisheye_rig(self, cam_r, R_rl, t_rl, lap_l=(0.0, 1e9),
+                        lap_r=(0.0, 1e9)):
+        """Configure a heterogeneous two-camera fisheye rig (reference
+        Camera2.* YAML keys + Tlr, src/Tracking.cc ParseCamParamFile two-camera
+        branch; lapping areas Camera.lappingBegin/End)."""
+        self.rig = {
+            "cam_r": np.asarray(cam_r, np.float32),
+            "R_rl": np.asarray(R_rl, np.float32),
+            "t_rl": np.asarray(t_rl, np.float32),
+            "lap_l": np.asarray(lap_l, np.float32),
+            "lap_r": np.asarray(lap_r, np.float32),
+        }
+        if self.bf <= 0:
+            self.bf = float(np.linalg.norm(t_rl) * self.cam_params[0])
+
+    def process_fisheye_stereo_frame(self, img_l: np.ndarray,
+                                     img_r: np.ndarray, ts: float) -> dict:
+        """Two-camera fisheye front end (reference Frame two-camera ctor
+        src/Frame.cc:1340 + ComputeStereoFishEyeMatches :1440): extract both
+        eyes, match in the lapping areas, triangulate through the KB8 models;
+        triangulated depth drives the standard close-point stereo machinery
+        (map scale is metric from the rig baseline)."""
+        import jax.numpy as jnp
+        from ..ops import stereo as stereo_ops
+        assert self.rig is not None, "call set_fisheye_rig first"
+        fid = self.n_frames
+        self.n_frames += 1
+        if self.imu_enabled and self.last_frame is not None:
+            self.frame_preint = self._preintegrate_frame(self.last_frame.ts, ts)
+            self._accumulate_preint(self.frame_preint)
+        fl = self.extract(jnp.asarray(img_l))
+        fr = self.extract(jnp.asarray(img_r))
+        frame = build_frame(fid, ts, fl, self.K, None)
+        fr_frame = build_frame(fid, ts, fr, self.K, None)
+        rig = self.rig
+        idx, ok, z, xl = stereo_ops.fisheye_stereo_match(
+            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+            jnp.asarray(fr_frame.xy), jnp.asarray(fr_frame.desc),
+            jnp.asarray(fr_frame.octave), jnp.asarray(fr_frame.valid),
+            jnp.asarray(self.cam_params), jnp.asarray(rig["cam_r"]),
+            jnp.asarray(rig["R_rl"]), jnp.asarray(rig["t_rl"]),
+            jnp.asarray(rig["lap_l"]), jnp.asarray(rig["lap_r"]),
+            jnp.asarray(self.map.level_sigma2),
+            jnp.asarray(0.7, jnp.float32), jnp.asarray(50, jnp.int32))
+        okn = np.asarray(ok)
+        idxn = np.asarray(idx)
+        frame.depth = np.where(okn, np.asarray(z), -1.0).astype(np.float32)
+        # no rectified right coordinate for fisheye (reference keeps
+        # mvuRight=-1 for KB8 rigs); instead record the right-eye PIXEL of the
+        # match — BA adds a second-camera (ToBody) residual that anchors the
+        # metric scale (reference EdgeSE3ProjectXYZToBody)
+        frame.uvr = np.where(okn[:, None], fr_frame.xy[idxn],
+                             -1.0).astype(np.float32)
+        with locked_current(self):
+            if self.state == TrackState.NOT_INITIALIZED:
+                done = self._stereo_init(frame)
+                info = {"state": self.state.name, "init": done,
+                        "n_stereo": int(okn.sum())}
+            else:
+                done = self._track(frame)
+                info = {"state": self.state.name,
+                        "inliers": frame.n_matched() if done else 0}
+            self._log_trajectory(frame, tracked=done)
+        self.last_frame = frame
+        return info
+
     def process_rgbd_frame(self, img: np.ndarray, depth_map: np.ndarray,
                            ts: float) -> dict:
         """RGB-D front end: depth sampled at keypoint locations becomes a
@@ -397,16 +522,18 @@ class Tracker:
         frame.t = np.zeros(3, np.float32)
         k0 = m.add_keyframe(frame.R, frame.t, frame.ts, frame.frame_id,
                             frame.xy, frame.angle, frame.octave, frame.desc,
-                            frame.valid, ur=frame.ur, depth=frame.depth)
+                            frame.valid, ur=frame.ur, depth=frame.depth,
+                            uvr=frame.uvr)
         sel = np.nonzero(frame.valid & (frame.depth > 0))[0]
-        if len(sel) < 100:
+        # the reference spawns a point per valid depth with no floor
+        # (src/Tracking.cc:2516-2540); 50 guards degenerate starts — fisheye
+        # rigs see fewer stereo depths (parallax-gated lapping area)
+        if len(sel) < 50:
             m.kf_valid[k0] = False
             m.n_kf -= 1
             return False
-        fx, fy, cx, cy = self.K
         z = frame.depth[sel]
-        xyz = np.stack([(frame.xy[sel, 0] - cx) / fx * z,
-                        (frame.xy[sel, 1] - cy) / fy * z, z], -1).astype(np.float32)
+        xyz = (self._backproject(frame.xy[sel]) * z[:, None]).astype(np.float32)
         dist = np.linalg.norm(xyz, axis=1)
         normals = xyz / np.maximum(dist[:, None], 1e-9)
         sf = m.scale_factors
@@ -426,6 +553,13 @@ class Tracker:
         frame.tracked = True
         return True
 
+    def _backproject(self, xy: np.ndarray) -> np.ndarray:
+        """Pixels → unit-z rays through the active camera model (reference
+        GeometricCamera::unproject; pinhole AND KB8 — depth is z-depth)."""
+        from ..ops import camera as cam_ops
+        return np.asarray(cam_ops.unproject(
+            self.cam_type, jnp.asarray(self.cam_params), jnp.asarray(xy)))
+
     def _spawn_close_points(self, frame: Frame, kf_id: int, max_new: int = 100):
         """Close-depth point spawning on keyframe creation (reference
         CreateNewKeyFrame src/Tracking.cc:3653: sorts by depth, inserts points
@@ -440,12 +574,10 @@ class Tracker:
             close = order[: max_new]
         if len(close) == 0:
             return
-        fx, fy, cx, cy = self.K
         z = frame.depth[close]
         Rwc = frame.R.T
         c = -Rwc @ frame.t
-        xc = np.stack([(frame.xy[close, 0] - cx) / fx * z,
-                       (frame.xy[close, 1] - cy) / fy * z, z], -1)
+        xc = self._backproject(frame.xy[close]) * z[:, None]
         xyz = (xc @ Rwc.T + c).astype(np.float32)
         dirs = xyz - c
         dist = np.linalg.norm(dirs, axis=1)
@@ -706,6 +838,19 @@ class Tracker:
         pts = np.zeros((len(mp), 3), np.float32)
         pts[matched] = m.mp_xyz[mp[matched]]
         inv_s2 = self.inv_sigma2[frame.octave]
+        # visual-inertial frame optimization once IMU-initialized (reference
+        # TrackLocalMap switches to PoseInertialOptimizationLastFrame,
+        # src/Tracking.cc:3421 area)
+        if (self.imu_initialized and in_map is None
+                and self.frame_preint is not None
+                and self.last_frame is not None and self.last_frame.tracked
+                and self.last_frame.R is not None
+                and self.velocity_w is not None
+                and abs(float(self.frame_preint.dT)
+                        - (frame.ts - self.last_frame.ts)) < 0.02):
+            inl = self._optimize_frame_pose_vi(frame, pts, matched, inv_s2)
+            if inl >= 0:
+                return inl
         res = self.pose_opt(
             jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pts),
             jnp.asarray(frame.xy), jnp.asarray(inv_s2, jnp.float32),
@@ -715,6 +860,42 @@ class Tracker:
         frame.t = np.asarray(res.t)
         inl = np.asarray(res.inlier)
         # clear outlier assignments (reference discards them after PoseOptimization)
+        frame.feat_mp[matched & ~inl] = -1
+        return int(inl.sum())
+
+    def _optimize_frame_pose_vi(self, frame: Frame, pts, matched, inv_s2) -> int:
+        """Visual-inertial frame pose+velocity optimization against the last
+        frame's state through the per-frame preintegration (reference
+        PoseInertialOptimizationLastFrame src/Optimizer.cc:7785)."""
+        from ..ops import imu as imu_ops, vi_ba as vi_ops
+        import functools
+        import jax
+        pre = self.frame_preint
+        lf = self.last_frame
+        dR_c, dV_c, dP_c = imu_ops.corrected_delta(
+            pre, jnp.asarray(self.imu_bias_g), jnp.asarray(self.imu_bias_a))
+        if not hasattr(self, "_pi_jit"):
+            self._pi_jit = jax.jit(functools.partial(
+                vi_ops.pose_inertial_optimize, cam_type=self.cam_type))
+        res = self._pi_jit(
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(self.velocity_w),
+            jnp.asarray(lf.R.T), jnp.asarray(-lf.R.T @ lf.t),
+            jnp.asarray(self.velocity_w),
+            jnp.asarray(self.imu_bias_g), jnp.asarray(self.imu_bias_a),
+            pre.dT, dR_c, dV_c, dP_c,
+            pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa, pre.C[:9, :9],
+            jnp.asarray(pts), jnp.asarray(frame.xy),
+            jnp.asarray(inv_s2, jnp.float32),
+            jnp.asarray(matched & frame.valid), jnp.asarray(self.cam_params))
+        Rn = np.asarray(res.R)
+        tn = np.asarray(res.t)
+        if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
+            return -1
+        frame.R = Rn
+        frame.t = tn
+        self.velocity_w = np.asarray(res.v, np.float32)
+        inl = np.asarray(res.inlier)
         frame.feat_mp[matched & ~inl] = -1
         return int(inl.sum())
 
@@ -851,11 +1032,23 @@ class Tracker:
 
         local_mps = m.local_map_points(local_kfs)
         # exclude already matched
-        local_mps = local_mps[~np.isin(local_mps, mps)]
-        self._project_and_assign(frame, local_mps, p.max_local_mps,
+        new_mps = local_mps[~np.isin(local_mps, mps)]
+        self._project_and_assign(frame, new_mps, p.max_local_mps,
                                  p.local_radius, p.local_ratio, p.th_high,
                                  count_visible=True)
         inl = self._optimize_frame_pose(frame)
+        # re-match at the refined pose + re-optimize: the first optimization's
+        # outlier censoring can capture the pose in a drifted local minimum
+        # (the motion prediction biases the first matching window); matching
+        # again from the refined pose recovers the censored observations.
+        # The reference gets this effect from its motion→local two-stage
+        # cascade; one extra pass measurably removes a drift-runaway mode on
+        # low-parallax sequences (scripts/sweep_tracking.py).
+        for _ in range(max(0, self.p.local_passes - 1)):
+            frame.feat_mp[:] = -1
+            self._project_and_assign(frame, local_mps, p.max_local_mps,
+                                     p.local_radius, p.local_ratio, p.th_high)
+            inl = self._optimize_frame_pose(frame)
         # found counters (reference IncreaseFound in TrackLocalMap)
         found = frame.feat_mp[frame.feat_mp >= 0]
         m.mp_found[found] += 1
@@ -896,16 +1089,24 @@ class Tracker:
         k = m.add_keyframe(frame.R, frame.t, frame.ts, frame.frame_id,
                            frame.xy, frame.angle, frame.octave, frame.desc,
                            frame.valid, feat_mp=frame.feat_mp.copy(),
-                           ur=frame.ur, depth=frame.depth)
+                           ur=frame.ur, depth=frame.depth, uvr=frame.uvr)
         if self.bf > 0:
             self._spawn_close_points(frame, k)
             m.kf_feat_mp[k] = frame.feat_mp
         if self.imu_enabled and self.preint_since_kf is not None:
             self.kf_preints[k] = self.preint_since_kf
             self.preint_since_kf = None
+        if self.imu_enabled and self.velocity_w is not None:
+            m.kf_vel[k] = self.velocity_w
+            m.kf_bias_g[k] = self.imu_bias_g
+            m.kf_bias_a[k] = self.imu_bias_a
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id
-        if self.imu_enabled and not self.imu_initialized:
+        # IMU init + VIBA staging run in the mapper (reference
+        # src/LocalMapping.cc:211-288); keep a synchronous fallback when no
+        # mapper is wired
+        if (self.imu_enabled and not self.imu_initialized
+                and self.on_new_keyframe is None):
             self.try_imu_init()
         if self.on_new_keyframe is not None:
             self.on_new_keyframe(k, initial=False)

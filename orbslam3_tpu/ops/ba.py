@@ -49,6 +49,13 @@ class BAProblem(NamedTuple):
     fixed_pose: jax.Array   # (K,) bool
     obs_ur: jax.Array = None   # (O,) right-image u; <0 ⇒ mono observation
     bf: jax.Array = 0.0        # baseline*fx (scalar)
+    # two-camera rigs (reference EdgeSE3ProjectXYZToBody,
+    # include/OptimizableTypes.h:89): observations with obs_cam=1 are seen by
+    # the second camera at T_rl ∘ T_kf with its own intrinsics
+    obs_cam: jax.Array = None      # (O,) int32 0=primary, 1=second camera
+    cam_params2: jax.Array = None  # second camera intrinsics
+    R_rl: jax.Array = None         # (3,3) right←left rig rotation
+    t_rl: jax.Array = None         # (3,)
 
 
 class BAResult(NamedTuple):
@@ -75,16 +82,39 @@ def _linearize(p: BAProblem, pts, R, t, w_mask, cam_type, cam_params, huber):
     Rk = R[p.obs_kf]
     tk = t[p.obs_kf]
     xw = pts[p.obs_mp]
-    xc = jnp.einsum("oij,oj->oi", Rk, xw) + tk
+    xc_l = jnp.einsum("oij,oj->oi", Rk, xw) + tk
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xc_l.dtype),
+                           xc_l.shape[:-1] + (3, 3))
+    # se3 perturbation acts on the PRIMARY camera frame; chain through the
+    # rig transform for second-camera observations (reference
+    # EdgeSE3ProjectXYZToBody, include/OptimizableTypes.h:89)
+    Jse3_l = jnp.concatenate([-lie.hat(xc_l), eye], axis=-1)            # (O,3,6)
+    if p.obs_cam is not None:
+        is2 = (p.obs_cam == 1)[:, None]
+        xc = jnp.where(is2, jnp.einsum("ij,oj->oi", p.R_rl, xc_l) + p.t_rl,
+                       xc_l)
+        Jse3 = jnp.where(is2[..., None],
+                         jnp.einsum("ij,ojk->oik", p.R_rl, Jse3_l), Jse3_l)
+        Rk = jnp.where(is2[..., None], jnp.einsum("ij,ojk->oik", p.R_rl, Rk),
+                       Rk)
+    else:
+        xc = xc_l
+        Jse3 = Jse3_l
     # sanitize depth (inf/NaN Jacobians would poison the scatter sums even at
     # zero weight); the pos mask downstream zeroes these residuals
     pos = xc[..., 2] > 1e-3
     xc = jnp.concatenate([xc[..., :2], jnp.maximum(xc[..., 2:3], 1e-2)], axis=-1)
-    pred = cam_ops.project(cam_type, cam_params, xc)
+    if p.obs_cam is not None:
+        pred1 = cam_ops.project(cam_type, cam_params, xc)
+        pred2 = cam_ops.project(cam_type, p.cam_params2, xc)
+        pred = jnp.where((p.obs_cam == 1)[:, None], pred2, pred1)
+        Jp1 = cam_ops.project_jac(cam_type, cam_params, xc)
+        Jp2 = cam_ops.project_jac(cam_type, p.cam_params2, xc)
+        Jproj = jnp.where((p.obs_cam == 1)[:, None, None], Jp2, Jp1)
+    else:
+        pred = cam_ops.project(cam_type, cam_params, xc)
+        Jproj = cam_ops.project_jac(cam_type, cam_params, xc)           # (O,2,3)
     r_uv = p.obs_uv - pred
-    Jproj = cam_ops.project_jac(cam_type, cam_params, xc)               # (O,2,3)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), xc.shape[:-1] + (3, 3))
-    Jse3 = jnp.concatenate([-lie.hat(xc), eye], axis=-1)                # (O,3,6)
 
     obs_ur = _obs_ur(p, xc.dtype)
     has_ur = obs_ur >= 0

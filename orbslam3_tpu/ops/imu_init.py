@@ -87,18 +87,6 @@ def inertial_init(
     """
     K = R_wb.shape[0]
     dtype = p_wb.dtype
-    # gravity seed: dirG = −Σ R1·ΔV points along gravity (reference
-    # src/LocalMapping.cc:1622-1652); Rwg0 rotates [0,0,-1] onto it
-    dirG = -jnp.sum(jnp.einsum("kij,kj->ki", R_wb[:-1], dV)
-                    * pair_valid[:, None], axis=0)
-    dirG = dirG / jnp.maximum(jnp.linalg.norm(dirG), 1e-9)
-    gI = jnp.asarray([0.0, 0.0, -1.0], dtype)
-    axis = jnp.cross(gI, dirG)
-    sin_n = jnp.linalg.norm(axis)
-    ang = jnp.arctan2(sin_n, jnp.dot(gI, dirG))
-    axis = jnp.where(sin_n > 1e-6, axis / jnp.maximum(sin_n, 1e-9),
-                     jnp.asarray([1.0, 0.0, 0.0], dtype))
-    Rwg0 = lie.so3_exp(axis * ang)
     if cov is None:
         Linv = jnp.broadcast_to(jnp.eye(9, dtype=dtype), (K - 1, 9, 9))
     else:
@@ -111,30 +99,78 @@ def inertial_init(
         L = jnp.linalg.cholesky(C)
         Linv = jax.vmap(lambda Lk: jax.scipy.linalg.solve_triangular(
             Lk, jnp.eye(9, dtype=dtype), lower=True))(L)
+
+    # ---- closed-form linear seed (gyro bias → scale/gravity/velocities) ----
+    # The MAP objective has a degenerate s→0 attractor; the linear VI
+    # initialization (Martinelli-style) finds the global optimum of the
+    # linearized problem, from which GN converges to the right basin.
+    pv = pair_valid.astype(dtype)
+    R1 = R_wb[:-1]
+    R2 = R_wb[1:]
+    # 1) gyro bias from rotation alignment: er(bg) ≈ er0 − JRg·bg
+    er0 = lie.so3_log(jnp.einsum("kij,kli,klm->kjm", dR, R1, R2))
+    Ag = jnp.einsum("kij,kil,k->jl", JRg, JRg, pv) + 1e-6 * jnp.eye(3, dtype=dtype)
+    bgv = jnp.einsum("kij,ki,k->j", JRg, er0, pv)
+    bg_seed = jnp.linalg.solve(Ag, bgv)
+    # 2) bias-corrected deltas at bg_seed (ba = 0)
+    dV_c = dV + jnp.einsum("kij,j->ki", JVg, bg_seed)
+    dP_c = dP + jnp.einsum("kij,j->ki", JPg, bg_seed)
+    # 3) linear system in x = [s, g(3), v_0..v_{K-1}]:
+    #    ev_i: R1ᵀ v_{i+1} − R1ᵀ v_i − t R1ᵀ g             = dV_c
+    #    ep_i: s·R1ᵀ(p2−p1) − t R1ᵀ v_i − ½t² R1ᵀ g        = dP_c
+    n_lin = 4 + 3 * K
+    t_ = dT[:, None, None]
+    R1T = jnp.swapaxes(R1, -1, -2)
+    # whiten [ev; ep] rows with the lower-right 6×6 of Linv (block approx)
+    W = Linv[:, 3:9, 3:9]
+    Km1 = K - 1
+    A = jnp.zeros((Km1, 6, n_lin), dtype)
+    s_col = jnp.einsum("kij,kj->ki", R1T, p_wb[1:] - p_wb[:-1])
+    if opt_scale:
+        A = A.at[:, 3:6, 0].set(s_col)
+    A = A.at[:, 0:3, 1:4].set(-t_ * R1T)
+    A = A.at[:, 3:6, 1:4].set(-0.5 * t_ * t_ * R1T)
+    idx = jnp.arange(Km1)
+    # velocity block columns: v_i at 4+3i, v_{i+1} at 4+3(i+1)
+    for r in range(3):
+        for c in range(3):
+            A = A.at[idx, r, 4 + 3 * idx + c].add(-R1T[:, r, c])
+            A = A.at[idx, r, 4 + 3 * (idx + 1) + c].add(R1T[:, r, c])
+            A = A.at[idx, 3 + r, 4 + 3 * idx + c].add(-dT * R1T[:, r, c])
+    b_lin = jnp.concatenate([dV_c, dP_c], axis=-1)                 # (K-1,6)
+    if not opt_scale:
+        # s fixed at 1: move its column to the rhs
+        b_lin = b_lin.at[:, 3:6].add(-s_col)
+    Aw = jnp.einsum("kij,kjn->kin", W, A) * pv[:, None, None]
+    bw = jnp.einsum("kij,kj->ki", W, b_lin) * pv[:, None]
+    Am = Aw.reshape(-1, n_lin)
+    bm = bw.reshape(-1)
+    H = Am.T @ Am + 1e-8 * jnp.eye(n_lin, dtype=dtype)
+    x = jnp.linalg.solve(H, Am.T @ bm)
+    s_lin = jnp.where(opt_scale, x[0], 1.0)
+    g_lin = x[1:4]
+    v_lin = x[4:].reshape(K, 3)
+    # gravity-alignment rotation from the linear g estimate
+    dirG = g_lin / jnp.maximum(jnp.linalg.norm(g_lin), 1e-9)
+    gI = jnp.asarray([0.0, 0.0, -1.0], dtype)
+    axis = jnp.cross(gI, dirG)
+    sin_n = jnp.linalg.norm(axis)
+    ang = jnp.arctan2(sin_n, jnp.dot(gI, dirG))
+    axis = jnp.where(sin_n > 1e-6, axis / jnp.maximum(sin_n, 1e-9),
+                     jnp.asarray([1.0, 0.0, 0.0], dtype))
+    Rwg0 = lie.so3_exp(axis * ang)
+
     def res_flat(p):
         r = _residuals(p, R_wb, p_wb, dT, dR, dV, dP, JRg, JVg, JVa,
                        JPg, JPa, pair_valid, opt_scale, Rwg0)
         return (_whiten(r, Linv) * pair_valid[:, None]).reshape(-1)
 
-    # scale seeding: sigma=0 can fall into the degenerate s→0 minimum (scaled
-    # position terms vanish); pick the best coarse log-scale candidate first
-    v_map = jnp.concatenate([
-        (p_wb[1:] - p_wb[:-1]) / jnp.maximum(dT[:, None], 1e-3),
-        jnp.zeros((1, 3), dtype)], axis=0)
-
-    def params_for(sigma):
-        s = jnp.exp(sigma)
-        return jnp.concatenate([
-            jnp.zeros(2, dtype), sigma[None],
-            jnp.zeros(6, dtype), (v_map * s).reshape(-1)])
-
-    if opt_scale:
-        sigmas = jnp.linspace(-3.0, 3.0, 31).astype(dtype)
-        costs0 = jax.vmap(lambda sg: jnp.sum(res_flat(params_for(sg)) ** 2))(sigmas)
-        sigma0 = sigmas[jnp.argmin(costs0)]
-    else:
-        sigma0 = jnp.zeros((), dtype)
-    params0 = params_for(sigma0)
+    sigma0 = jnp.where(opt_scale,
+                       jnp.log(jnp.clip(s_lin, 1e-3, 1e3)),
+                       jnp.zeros((), dtype))
+    params0 = jnp.concatenate([
+        jnp.zeros(2, dtype), sigma0[None], bg_seed,
+        jnp.zeros(3, dtype), v_lin.reshape(-1)])
 
     n = params0.shape[0]
     prior = jnp.concatenate([

@@ -161,3 +161,67 @@ def pose_optimize(
         n_inliers=jnp.sum(inlier.astype(jnp.int32)),
         chi2=jnp.sum(jnp.where(inlier, chi2, 0.0)),
     )
+
+
+def pose_optimize_multistart(
+    R0: jax.Array, t0: jax.Array,
+    pts_w: jax.Array, uv: jax.Array, inv_sigma2: jax.Array, valid: jax.Array,
+    cam_params: jax.Array, cam_type: int = cam_ops.PINHOLE,
+    rounds: int = 4, iters: int = 10, chi2_th: float = CHI2_MONO,
+    obs_ur: jax.Array | None = None, bf: jax.Array | float = 0.0,
+    n_starts: int = 7, spread: float = 0.015,
+) -> PoseOptResult:
+    """Multi-start pose LM: vmapped optimization from the prior pose plus
+    camera-frame translation perturbations (dominated by the viewing axis —
+    the weakly observed direction), winner by robust Huber cost over ALL
+    valid observations.
+
+    Rationale (no reference counterpart — TPU-native robustification): the
+    robust pose cost has spurious local minima displaced along the depth
+    direction; a motion-model prediction that drifts into one gets locked in
+    by the chi2 reclassification (observed drift-runaway on low-parallax
+    sequences). Batched restarts are nearly free on the MXU and pick the
+    global basin. The unmasked Huber total is comparable across starts
+    (inlier sets differ; a masked total would reward aggressive censoring).
+    """
+    dtype = pts_w.dtype
+    if obs_ur is None:
+        obs_ur = jnp.full(pts_w.shape[:1], -1.0, dtype)
+    # characteristic depth for perturbation scaling
+    xc0 = lie.se3_apply(R0, t0, pts_w)
+    z0 = jnp.where(valid & (xc0[..., 2] > 0), xc0[..., 2], jnp.nan)
+    med_z = jnp.nan_to_num(jnp.nanmedian(z0), nan=1.0)
+    dirs = jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, 0.0, -1.0],
+         [0.0, 0.0, 2.0], [0.0, 0.0, -2.0], [1.0, 0.0, 0.0],
+         [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, -1.0, 0.0]], dtype)[:n_starts]
+    t0s = t0[None, :] + spread * med_z * dirs      # camera-frame shift: t' = t+δ
+
+    def solve(tt):
+        return pose_optimize(R0, tt, pts_w, uv, inv_sigma2, valid, cam_params,
+                             cam_type=cam_type, rounds=rounds, iters=iters,
+                             chi2_th=chi2_th, obs_ur=obs_ur, bf=bf)
+
+    res = jax.vmap(solve)(t0s)
+
+    huber_m = jnp.sqrt(jnp.asarray(CHI2_MONO, dtype))
+    huber_s = jnp.sqrt(jnp.asarray(CHI2_STEREO, dtype))
+    has_ur = obs_ur >= 0
+
+    def total_cost(R, t):
+        _, _, chi2 = _build_normal_eq(
+            R, t, pts_w, uv, obs_ur, bf, inv_sigma2, valid.astype(dtype),
+            cam_type, cam_params, huber_m, huber_s)
+        d = jnp.where(has_ur, huber_s, huber_m)
+        d2 = d * d
+        rho = jnp.where(chi2 <= d2, chi2,
+                        2.0 * d * jnp.sqrt(chi2 + 1e-12) - d2)
+        rho = jnp.minimum(rho, 1e6)
+        return jnp.sum(rho * valid.astype(dtype))
+
+    costs = jax.vmap(total_cost)(res.R, res.t)
+    best = jnp.argmin(costs)
+    return PoseOptResult(
+        R=res.R[best], t=res.t[best], inlier=res.inlier[best],
+        n_inliers=res.n_inliers[best], chi2=res.chi2[best],
+    )

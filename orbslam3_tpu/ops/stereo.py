@@ -114,3 +114,55 @@ def depth_to_virtual_ur(xy, depth_map_vals, bf: jax.Array):
     ok = z > 0
     ur = xy[:, 0] - bf / jnp.maximum(z, 1e-6)
     return jnp.where(ok, ur, -1.0), jnp.where(ok, z, -1.0), ok
+
+
+def fisheye_stereo_match(
+    xy_l, desc_l, oct_l, valid_l,
+    xy_r, desc_r, oct_r, valid_r,
+    cam_l, cam_r, R_rl, t_rl,
+    lap_l, lap_r, level_sigma2,
+    ratio: jax.Array = 0.7, max_dist: jax.Array = 50,
+    min_parallax_cos: float = 0.9998, chi2_th: float = 5.991,
+):
+    """Two-camera fisheye (Kannala-Brandt-8) stereo matching + triangulation
+    (reference Frame::ComputeStereoFishEyeMatches src/Frame.cc:1440-1480:
+    BFMatcher knn over the lapping-area features, Lowe ratio 0.7, accept when
+    KannalaBrandt8::TriangulateMatches returns depth > 0.0001 — which itself
+    gates on parallax and per-eye reprojection χ², KannalaBrandt8.cpp:89).
+
+    cam_l/cam_r: (8,) KB8 parameter vectors; (R_rl, t_rl): right←left rig
+    extrinsics; lap_l/lap_r: (2,) pixel-u lapping intervals per eye
+    (reference Camera.lappingBegin/End, mvLappingArea).
+
+    Returns (idx (N,), ok (N,), depth_l (N,), xl (N,3)) for left features:
+    matched right index, acceptance, z-depth and 3D point in the LEFT camera.
+    """
+    from . import camera as cam_ops
+    from . import triangulation
+    rays_l = cam_ops.kb8_unproject(cam_l, xy_l)
+    rays_r = cam_ops.kb8_unproject(cam_r, xy_r)
+
+    in_lap_l = (xy_l[:, 0] >= lap_l[0]) & (xy_l[:, 0] <= lap_l[1])
+    in_lap_r = (xy_r[:, 0] >= lap_r[0]) & (xy_r[:, 0] <= lap_r[1])
+    mask = (valid_l & in_lap_l)[:, None] & (valid_r & in_lap_r)[None, :]
+    mask = mask & matching.octave_mask(oct_l, oct_r, 1, 1)
+
+    dist = matching.hamming_matrix(desc_l, desc_r)
+    idx, best, ok = matching.masked_match(dist, mask, max_dist, ratio)
+    ok = matching.resolve_duplicates(idx, best, ok, desc_r.shape[0])
+
+    # triangulate: left camera is the anchor (T_l = I), right = (R_rl, t_rl)
+    eye = jnp.eye(3, dtype=rays_l.dtype)
+    zero = jnp.zeros(3, rays_l.dtype)
+    r2m = rays_r[idx]
+    xl = triangulation.triangulate_dlt(eye, zero, rays_l, R_rl, t_rl, r2m)
+    # χ² gates in normalized-ray units scaled by the fisheye focal
+    f2 = cam_l[0] * cam_l[0]
+    sig_l = level_sigma2[oct_l] / f2
+    sig_r = level_sigma2[oct_r[idx]] / f2
+    tri_ok, depths = triangulation.check_triangulation(
+        xl, eye, zero, rays_l, R_rl, t_rl, r2m, sig_l, sig_r,
+        min_parallax_cos=min_parallax_cos, chi2_th=chi2_th)
+    z = xl[..., 2]
+    ok = ok & tri_ok & (z > 1e-4)
+    return idx, ok, jnp.where(ok, z, -1.0), xl

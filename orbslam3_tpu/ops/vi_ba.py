@@ -143,3 +143,115 @@ def vi_window_optimize(
     Rn, tn, vels, bg, ba = unpack(p)
     return VIBAResult(R=Rn, t=tn, vels=vels, bg=bg, ba=ba,
                       cost=jnp.sum(residuals(p) ** 2))
+
+
+class PoseInertialResult(NamedTuple):
+    R: jax.Array
+    t: jax.Array
+    v: jax.Array
+    inlier: jax.Array
+    n_inliers: jax.Array
+
+
+def pose_inertial_optimize(
+    R0, t0, v0, R1_wb, p1_wb, v1,
+    bg, ba, dT, dR, dV, dP, JRg, JVg, JVa, JPg, JPa, pre_cov,
+    pts_w, obs_uv, obs_inv_sigma2, obs_valid, cam_params,
+    cam_type: int = 0, iters: int = 12, chi2_th: float = 5.991,
+) -> PoseInertialResult:
+    """Frame-rate visual-inertial pose optimization (reference
+    PoseInertialOptimizationLastFrame src/Optimizer.cc:7785: current frame
+    pose+velocity against the previous state through a preintegration edge +
+    visual mono edges; 4×10 schedule with annealed chi2 gates
+    {12, 7.5, 5.991, 5.991}). Biases stay at the tracker's estimates (the
+    reference's bias random-walk edges barely move them at frame rate).
+
+    The previous state (R1_wb body→world? no — body pose R_wb (3,3), p_wb,
+    v1) is FIXED; the reference's marginalized ConstraintPoseImu prior is
+    approximated by fixing it (the prior's information would let it move
+    slightly — a refinement once frame-to-frame marginalization lands).
+    """
+    dtype = t0.dtype
+    huber = jnp.sqrt(jnp.asarray(chi2_th, dtype))
+    C = pre_cov + jnp.diag(jnp.asarray([1e-8] * 3 + [1e-6] * 3 + [1e-7] * 3,
+                                       dtype))
+    L = jnp.linalg.cholesky(C)
+    Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(9, dtype=dtype),
+                                             lower=True)
+    g = jnp.asarray([0.0, 0.0, -imu_ops.GRAVITY], dtype)
+    dbg = jnp.zeros(3, dtype)   # biases fixed: corrected deltas precomputed
+    dR_c = dR
+    dV_c = dV
+    dP_c = dP
+
+    def unpack(p):
+        dRp, dtp = lie.se3_exp(p[:6])
+        R, t = lie.se3_compose(dRp, dtp, R0, t0)
+        return R, t, p[6:9]
+
+    def residuals(p, w_in):
+        R, t, v = unpack(p)
+        xc = jnp.einsum("ij,oj->oi", R, pts_w) + t
+        pos = xc[..., 2] > 1e-3
+        xc = jnp.concatenate([xc[..., :2],
+                              jnp.maximum(xc[..., 2:3], 1e-2)], axis=-1)
+        pred = cam_ops.project(cam_type, cam_params, xc)
+        rv = (obs_uv - pred) * jnp.sqrt(obs_inv_sigma2)[:, None]
+        chi = jnp.sum(rv * rv, axis=-1)
+        w_h = jnp.sqrt(jnp.where(chi > huber * huber,
+                                 huber / jnp.sqrt(chi + 1e-12), 1.0))
+        rv = rv * (w_h * w_in * obs_valid.astype(dtype)
+                   * pos.astype(dtype))[:, None]
+        # inertial edge to the fixed previous state
+        R_wb = R.T
+        p_wb = -R.T @ t
+        tt = dT
+        er = lie.so3_log(dR_c.T @ (R1_wb.T @ R_wb))
+        ev = R1_wb.T @ (v - v1 - g * tt) - dV_c
+        ep = R1_wb.T @ (p_wb - p1_wb - v1 * tt - 0.5 * g * tt * tt) - dP_c
+        ri = Linv @ jnp.concatenate([er, ev, ep])
+        return jnp.concatenate([rv.reshape(-1), ri])
+
+    def chi2_of(p):
+        R, t, v = unpack(p)
+        xc = jnp.einsum("ij,oj->oi", R, pts_w) + t
+        pos = xc[..., 2] > 1e-3
+        xc = jnp.concatenate([xc[..., :2],
+                              jnp.maximum(xc[..., 2:3], 1e-2)], axis=-1)
+        pred = cam_ops.project(cam_type, cam_params, xc)
+        rv = (obs_uv - pred)
+        chi = jnp.sum(rv * rv, axis=-1) * obs_inv_sigma2
+        return jnp.where(pos, chi, 1e9)
+
+    schedule = jnp.asarray([12.0, 7.5, chi2_th, chi2_th], dtype)
+    p = jnp.concatenate([jnp.zeros(6, dtype), v0])
+    inlier = jnp.ones(pts_w.shape[0], bool)
+
+    def round_body(i, carry):
+        p, inlier = carry
+        w_in = inlier.astype(dtype)
+
+        def gn(carry2, _):
+            pp, lam = carry2
+            r = residuals(pp, w_in)
+            J = jax.jacfwd(lambda q: residuals(q, w_in))(pp)
+            H = J.T @ J + lam * jnp.eye(9, dtype=dtype)
+            b = -J.T @ r
+            dp = jnp.linalg.solve(H, b)
+            p_new = pp + dp
+            good = jnp.sum(residuals(p_new, w_in) ** 2) < jnp.sum(r ** 2)
+            pp = jnp.where(good, p_new, pp)
+            lam = jnp.where(good, lam * 0.5, lam * 5.0)
+            return (pp, lam), None
+
+        (p, _), _ = jax.lax.scan(gn, (p, jnp.asarray(1e-4, dtype)), None,
+                                 length=iters // 3)
+        inlier = chi2_of(p) < schedule[i]
+        return p, inlier
+
+    p, inlier = jax.lax.fori_loop(0, 4, round_body, (p, inlier))
+    inlier = inlier & obs_valid
+    R, t, v = unpack(p)
+    return PoseInertialResult(
+        R=R, t=t, v=v, inlier=inlier,
+        n_inliers=jnp.sum(inlier.astype(jnp.int32)))

@@ -128,6 +128,139 @@ class BinaryVocabulary:
         return fn
 
 
+class GeneralVocabulary:
+    """Array-form DBoW2 tree of arbitrary shape (loaded from ORBvoc.txt).
+
+    The reference ships a pre-trained 10-branch, 6-level, ~1M-word vocabulary
+    loaded by ``TemplatedVocabulary::loadFromTextFile`` (reference
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:241). Real trees are NOT
+    complete k-ary trees, so the descent uses per-node child tables with
+    validity masks; each level is one gather + masked-argmin over (N, k)
+    Hamming distances on the VPU.
+    """
+
+    def __init__(self, levels, k, child_desc, child_id, child_valid,
+                 word_weight):
+        self.levels = levels
+        self.k = k
+        # per level l: (n_nodes_l, k, 8) uint32 child descriptors;
+        # (n_nodes_l, k) int32 child codes: ≥0 → row in level l+1's table,
+        # ≤ −2 → leaf with word id −code−2; (n_nodes_l, k) bool validity
+        self.child_desc = child_desc
+        self.child_id = child_id
+        self.child_valid = child_valid
+        self.word_weight = word_weight   # (n_words,) float32 (idf)
+        self.n_words = len(word_weight)
+
+    def transform_fn(self):
+        cd = [jnp.asarray(c) for c in self.child_desc]
+        ci = [jnp.asarray(c) for c in self.child_id]
+        cv = [jnp.asarray(c) for c in self.child_valid]
+
+        @jax.jit
+        def fn(desc, valid):
+            node = jnp.zeros(desc.shape[0], jnp.int32)
+            word = jnp.full(desc.shape[0], -1, jnp.int32)
+            for lvl in range(self.levels):
+                cents = cd[lvl][node]                      # (N,k,8)
+                x = jnp.bitwise_xor(cents, desc[:, None, :])
+                d = jnp.sum(jax.lax.population_count(x), axis=-1)
+                d = jnp.where(cv[lvl][node], d, 1 << 20)
+                best = jnp.argmin(d, axis=-1).astype(jnp.int32)
+                nxt = jnp.take_along_axis(ci[lvl][node], best[:, None], 1)[:, 0]
+                word = jnp.where((word < 0) & (nxt <= -2), -nxt - 2, word)
+                node = jnp.where(nxt >= 0, nxt, 0)
+            word = jnp.maximum(word, 0)
+            return jnp.where(valid, word, -1)
+
+        return fn
+
+    def bow_fn(self):
+        weight = jnp.asarray(self.word_weight)
+        W = self.n_words
+
+        @jax.jit
+        def fn(word_ids):
+            ok = word_ids >= 0
+            hist = jnp.zeros((W,), jnp.float32).at[
+                jnp.where(ok, word_ids, 0)].add(ok.astype(jnp.float32))
+            v = hist * weight
+            return v / jnp.maximum(jnp.sum(v), 1e-9)
+
+        return fn
+
+
+def load_dbow2_text(path: str) -> GeneralVocabulary:
+    """Parse the DBoW2 text vocabulary format (reference
+    TemplatedVocabulary::loadFromTextFile, Thirdparty/DBoW2/DBoW2/
+    TemplatedVocabulary.h:241): first line ``k L scoring weighting``; then one
+    node per line: ``parent_id is_leaf b0..b31 weight`` (32 descriptor bytes).
+    Word ids are assigned to leaves in file order, exactly like the reference.
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, is_leaf, descs, weights = [], [], [], []
+        for line in f:
+            ps = line.split()
+            if len(ps) < 35:
+                continue
+            parents.append(int(ps[0]))
+            is_leaf.append(bool(int(ps[1])))
+            descs.append(np.asarray(ps[2:34], np.uint32).astype(np.uint8))
+            weights.append(float(ps[34]))
+    n = len(parents)
+    parents = np.asarray(parents, np.int64)
+    is_leaf = np.asarray(is_leaf, bool)
+    desc = np.stack(descs).view(np.uint32) if n else np.zeros((0, 8), np.uint32)
+    desc = desc.reshape(n, 8)
+    weights = np.asarray(weights, np.float32)
+
+    # node ids in file order; node 0 (root) is implicit. File nodes are 1..n.
+    # depth of each node (root=0)
+    depth = np.zeros(n + 1, np.int32)
+    for i in range(n):
+        depth[i + 1] = depth[parents[i]] + 1
+    levels = int(depth.max())
+
+    # per-level node tables: level l holds nodes at depth l (root at level 0)
+    level_nodes = [np.nonzero(depth == l)[0] for l in range(levels + 1)]
+    node_row = np.full(n + 1, -1, np.int64)        # node id → row in its level
+    for l, ids in enumerate(level_nodes):
+        node_row[ids] = np.arange(len(ids))
+
+    word_of_node = np.full(n + 1, -1, np.int64)
+    word_of_node[1:][is_leaf] = np.arange(int(is_leaf.sum()))
+    word_weight = weights[is_leaf]
+
+    child_desc, child_id, child_valid = [], [], []
+    for l in range(levels):
+        ids = level_nodes[l]
+        nn = max(len(ids), 1)
+        cdesc = np.zeros((nn, k, 8), np.uint32)
+        cid = np.full((nn, k), -1, np.int32)
+        cval = np.zeros((nn, k), bool)
+        slot = np.zeros(nn, np.int32)
+        for i in np.nonzero(depth[1:] == l + 1)[0]:
+            r = node_row[parents[i]]
+            s = slot[r]
+            if s >= k:
+                continue
+            cdesc[r, s] = desc[i]
+            # leaf slots encode the word id as −(word+2); interior slots the
+            # row of the child node in level l+1's table
+            cid[r, s] = (-(int(word_of_node[i + 1]) + 2) if is_leaf[i]
+                         else int(node_row[i + 1]))
+            cval[r, s] = True
+            slot[r] += 1
+        child_desc.append(cdesc)
+        child_id.append(cid)
+        child_valid.append(cval)
+
+    return GeneralVocabulary(levels, k, child_desc, child_id, child_valid,
+                             word_weight)
+
+
 @jax.jit
 def l1_scores(query: jax.Array, database: jax.Array) -> jax.Array:
     """DBoW2 L1 similarity of one BoW vector vs a database (K, W) → (K,).
