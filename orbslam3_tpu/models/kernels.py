@@ -80,7 +80,8 @@ def pose_opt_kernel(cam_type: int, rounds: int = 4, iters: int = 10,
     from ..ops import pose_opt
 
     @jax.jit
-    def fn(R0, t0, pts_w, uv, inv_sigma2, valid, cam_params, obs_ur=None, bf=0.0):
+    def fn(R0, t0, pts_w, uv, inv_sigma2, valid, cam_params, obs_ur=None, bf=0.0,
+           prior_R=None, prior_t=None, prior_eps=0.0):
         if n_starts > 1:
             return pose_opt.pose_optimize_multistart(
                 R0, t0, pts_w, uv, inv_sigma2, valid, cam_params,
@@ -89,7 +90,8 @@ def pose_opt_kernel(cam_type: int, rounds: int = 4, iters: int = 10,
         return pose_opt.pose_optimize(
             R0, t0, pts_w, uv, inv_sigma2, valid, cam_params,
             cam_type=cam_type, rounds=rounds, iters=iters,
-            obs_ur=obs_ur, bf=bf)
+            obs_ur=obs_ur, bf=bf,
+            prior_R=prior_R, prior_t=prior_t, prior_eps=prior_eps)
 
     return fn
 

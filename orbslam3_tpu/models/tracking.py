@@ -75,6 +75,15 @@ class TrackingParams:
     # multi-start pose optimization (1 = single start; >1 = batched LM from
     # depth-axis-perturbed starts, winner by robust cost)
     pose_starts: int = 1
+    # minimum predicted image motion (px, rotational+translational) for the
+    # motion model to extrapolate the pose; below it the frame starts at the
+    # last pose (see Tracker._predict_pose). 0 disables anchoring.
+    cv_predict_min_px: float = 6.0
+    # weak last-pose prior in pose LM: per-block information = eps·tr(H)/3.
+    # Floors the curvature of near-null pose directions (frontal-plane scenes)
+    # so a motion-model seed cannot random-walk down them; negligible along
+    # observed directions. 0 disables. (ops/pose_opt.py docstring.)
+    pose_prior_eps: float = 3e-4
 
 
 class Tracker:
@@ -778,10 +787,52 @@ class Tracker:
         self.preint_since_kf = None
 
     def _predict_pose(self, frame: Frame):
+        """Motion-model prediction with anchored translation for slow motion.
+
+        The pose is extrapolated by the constant-velocity model only when the
+        PREDICTED image motion (rotational + translational, in px) exceeds
+        `cv_predict_min_px`; otherwise the frame starts at the last frame's
+        pose. Rationale: on low-parallax/frontal-structure views the pose has
+        a near-null coupled lateral-translation+yaw direction; seeding and
+        match-window placement from an extrapolated pose integrates the
+        estimator's own bias along it into a scale-drift runaway (reproduced
+        and isolated in scripts/diag_scale2.py — anchored tracking holds map
+        scale to <1% over 80 frames where extrapolated tracking diverged 3x;
+        extrapolating EITHER component of the coupled pair re-opens the
+        runaway). When inter-frame motion is fast enough to need prediction
+        for window placement, it is also fast enough to be observable, so
+        extrapolation is safe there. The match-window radius (motion_radius,
+        with a 2x retry) covers the un-extrapolated motion in the anchored
+        regime by construction of the threshold."""
         Rv, tv = self.velocity
         Rl, tl = self.last_frame.R, self.last_frame.t
-        frame.R = (Rv @ Rl).astype(np.float32)
-        frame.t = (Rv @ tl + tv).astype(np.float32)
+        Rp = (Rv @ Rl).astype(np.float32)
+        tp = (Rv @ tl + tv).astype(np.float32)
+        thresh = self.p.cv_predict_min_px
+        if thresh > 0.0:
+            c_p = -Rp.T @ tp
+            c_l = -Rl.T @ tl
+            zmed = self._last_matched_depth()
+            ang = np.arccos(np.clip((np.trace(Rv) - 1.0) / 2.0, -1.0, 1.0))
+            px = float(self.K[0]) * (
+                float(ang) + float(np.linalg.norm(c_p - c_l)) / max(zmed, 1e-6))
+            if px < thresh:
+                Rp, tp = Rl.copy(), tl.copy()
+        frame.R = Rp
+        frame.t = tp
+
+    def _last_matched_depth(self) -> float:
+        """Median depth of the last frame's matched map points (in its cam)."""
+        lf = self.last_frame
+        if lf is None or lf.R is None:
+            return 1.0
+        mp = lf.feat_mp[lf.feat_mp >= 0]
+        mp = mp[self.map.mp_valid[mp]] if len(mp) else mp
+        if len(mp) == 0:
+            return 1.0
+        z = (self.map.mp_xyz[mp] @ lf.R.T + lf.t)[:, 2]
+        z = z[z > 1e-6]
+        return float(np.median(z)) if len(z) else 1.0
 
     def _gather_mps(self, mp_ids: np.ndarray, cap: int):
         """Pad/crop map-point SoA to a fixed-size device buffer."""
@@ -851,11 +902,23 @@ class Tracker:
             inl = self._optimize_frame_pose_vi(frame, pts, matched, inv_s2)
             if inl >= 0:
                 return inl
+        # anchor the weak prior at the LAST tracked pose (not the motion-model
+        # seed) — see TrackingParams.pose_prior_eps
+        lf = self.last_frame
+        use_prior = (lf is not None and lf is not frame and lf.tracked
+                     and lf.R is not None and self.p.pose_prior_eps > 0.0)
+        if use_prior:
+            pR, pt = lf.R, lf.t
+            eps = self.p.pose_prior_eps
+        else:
+            pR, pt = frame.R, frame.t
+            eps = 0.0
         res = self.pose_opt(
             jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pts),
             jnp.asarray(frame.xy), jnp.asarray(inv_s2, jnp.float32),
             jnp.asarray(matched & frame.valid), jnp.asarray(self.cam_params),
-            jnp.asarray(frame.ur), jnp.asarray(self.bf, jnp.float32))
+            jnp.asarray(frame.ur), jnp.asarray(self.bf, jnp.float32),
+            jnp.asarray(pR), jnp.asarray(pt), jnp.asarray(eps, jnp.float32))
         frame.R = np.asarray(res.R)
         frame.t = np.asarray(res.t)
         inl = np.asarray(res.inlier)

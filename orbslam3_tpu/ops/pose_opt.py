@@ -87,6 +87,8 @@ def pose_optimize(
     rounds: int = 4, iters: int = 10, chi2_th: float = CHI2_MONO,
     chi2_schedule: jax.Array | None = None,
     obs_ur: jax.Array | None = None, bf: jax.Array | float = 0.0,
+    prior_R: jax.Array | None = None, prior_t: jax.Array | None = None,
+    prior_eps: jax.Array | float = 0.0,
 ) -> PoseOptResult:
     """4x10 LM with between-round chi2 reclassification.
 
@@ -96,6 +98,17 @@ def pose_optimize(
     variants use annealed gates {12, 7.5, 5.991, 5.991}, reference
     src/Optimizer.cc:7493-7530); default = constant chi2_th. Stereo rows use
     gates scaled by CHI2_STEREO/CHI2_MONO.
+
+    prior_R/prior_t/prior_eps: optional weak SE(3) prior anchored at a
+    reference pose (typically the LAST FRAME's optimized pose, NOT the
+    motion-model seed). The prior's information is scale-free: per-block
+    Λ = prior_eps · tr(H_block at the seed)/3, so it is negligible along
+    directions the observations constrain and becomes the curvature floor
+    along near-null directions (frontal-plane scenes leave a lateral-
+    translation+yaw valley; an extrapolated seed otherwise random-walks
+    down it — the observed mono scale-drift runaway, scripts/diag_*.py).
+    No reference counterpart (g2o PoseOptimization has no prior; the
+    reference relies on real scenes' depth diversity).
     """
     dtype = pts_w.dtype
     if obs_ur is None:
@@ -114,6 +127,27 @@ def pose_optimize(
         return _build_normal_eq(R, t, pts_w, uv, obs_ur, bf, inv_sigma2,
                                 w_mask, cam_type, cam_params, huber_m, huber_s)
 
+    # --- weak anchored prior (see docstring) ---
+    if prior_R is None:
+        prior_R, prior_t = R0, t0
+    prior_eps = jnp.asarray(prior_eps, dtype)
+    H_seed, _, _ = nq(R0, t0, valid.astype(dtype))
+    lam_rot = prior_eps * jnp.trace(H_seed[:3, :3]) / 3.0
+    lam_t = prior_eps * jnp.trace(H_seed[3:, 3:]) / 3.0
+    lam_diag = jnp.concatenate([jnp.full((3,), lam_rot, dtype),
+                                jnp.full((3,), lam_t, dtype)])
+    pRi, pti = lie.se3_inverse(prior_R, prior_t)
+
+    def prior_err(R, t):
+        # e0 = log(T ∘ T_prior⁻¹) in the left-increment tangent (update is
+        # T ← Exp(δ)∘T, so de/dδ ≈ I for small e0)
+        dRr, dtr = lie.se3_compose(R, t, pRi, pti)
+        return lie.se3_log(dRr, dtr)
+
+    def prior_cost(R, t):
+        e0 = prior_err(R, t)
+        return jnp.sum(lam_diag * e0 * e0)
+
     def huber_cost(chi2, w_mask):
         # UNBOUNDED robust cost for the LM accept test — a capped cost
         # saturates when the initial pose is poor, blinding LM to real
@@ -129,12 +163,16 @@ def pose_optimize(
         def body(_, carry):
             R, t, lam = carry
             H, b, c_old = nq(R, t, w_mask)
+            e0 = prior_err(R, t)
+            H = H + jnp.diag(lam_diag)
+            b = b - lam_diag * e0
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
             dx = jnp.linalg.solve(Hd, b)
             Rn_, tn_ = lie.se3_exp(dx)
             Rn, tn = lie.se3_compose(Rn_, tn_, R, t)
             _, _, c_new = nq(Rn, tn, w_mask)
-            good = huber_cost(c_new, w_mask) < huber_cost(c_old, w_mask)
+            good = (huber_cost(c_new, w_mask) + prior_cost(Rn, tn)
+                    < huber_cost(c_old, w_mask) + prior_cost(R, t))
             R = jnp.where(good, Rn, R)
             t = jnp.where(good, tn, t)
             lam = jnp.where(good, lam * 0.5, lam * 4.0)

@@ -188,6 +188,13 @@ class RoomScene:
     fy: float = 457.296
     cx: float = 376.0
     cy: float = 240.0
+    # interior clutter: floating textured panels at diverse depths. A bare box
+    # room seen frontally is a near-planar scene — monocular pose then has a
+    # lateral-translation+yaw direction whose only curvature comes from image-
+    # edge points, and any estimator (the reference's g2o PoseOptimization
+    # included) scale-drifts once the chi2 gate censors those. Real indoor
+    # imagery has foreground structure; n_clutter adds it.
+    n_clutter: int = 0
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -222,6 +229,22 @@ class RoomScene:
             (np.array([-hw, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]),
              np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0])),   # left wall
         ]
+        # finite-extent clutter panels: (u0,u1,v0,v1) bounds in panel coords
+        self.plane_bounds = [None] * len(self.planes)
+        for i in range(self.n_clutter):
+            ctr = np.array([rng.uniform(-0.65 * hw, 0.65 * hw),
+                            rng.uniform(-0.65 * hh, 0.65 * hh),
+                            rng.uniform(0.3 * d, 0.85 * d)])
+            # face roughly toward -z with a random tilt
+            n = np.array([rng.uniform(-0.35, 0.35), rng.uniform(-0.35, 0.35), -1.0])
+            n /= np.linalg.norm(n)
+            ua = np.cross(n, [0.0, 1.0, 0.0])
+            ua /= np.linalg.norm(ua)
+            va = np.cross(n, ua)
+            half_u = rng.uniform(0.35, 0.9)
+            half_v = rng.uniform(0.25, 0.7)
+            self.planes.append((ctr, n, ua, va))
+            self.plane_bounds.append((-half_u, half_u, -half_v, half_v))
         self.tex_scale = 48.0  # texels per world unit
 
     @property
@@ -262,11 +285,18 @@ class RoomScene:
             tt = ((p0 - c) @ n) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
             hitp = c + tt[..., None] * rays_w
             ok = (tt > 0.2) & (tt < best_t)
-            # clip to box extents
-            ok &= (np.abs(hitp[..., 0]) <= self.half_w + 1e-6)
-            ok &= (np.abs(hitp[..., 1]) <= self.half_h + 1e-6)
-            ok &= (hitp[..., 2] >= -1.0) & (hitp[..., 2] <= self.depth + 1e-6)
-            tex = self.textures[pi]
+            bounds = self.plane_bounds[pi]
+            if bounds is None:
+                # clip to box extents
+                ok &= (np.abs(hitp[..., 0]) <= self.half_w + 1e-6)
+                ok &= (np.abs(hitp[..., 1]) <= self.half_h + 1e-6)
+                ok &= (hitp[..., 2] >= -1.0) & (hitp[..., 2] <= self.depth + 1e-6)
+            else:
+                u0, u1, v0, v1 = bounds
+                su = (hitp - p0) @ ua
+                sv = (hitp - p0) @ va
+                ok &= (su >= u0) & (su <= u1) & (sv >= v0) & (sv <= v1)
+            tex = self.textures[pi % len(self.textures)]
             gu = (hitp @ ua) * self.tex_scale % (self.tex_n - 1)
             gv = (hitp @ va) * self.tex_scale % (self.tex_n - 1)
             x0 = gu.astype(int); y0 = gv.astype(int)
