@@ -291,6 +291,11 @@ class LocalMapper:
         tr = self.inertial
         inertial = (tr is not None and tr.imu_enabled
                     and getattr(self, "preserve_temporal_chain", True))
+        # reference: in inertial mode nothing is culled while the map holds
+        # ≤ Nd=21 keyframes (src/LocalMapping.cc:1234,1356-1360) — the IMU
+        # init needs the dense temporal chain
+        if inertial and len(m.valid_kf_ids()) <= 21:
+            return
         candidates = [int(k) for k in m.best_covisible(kf_id, 20, min_weight=15)]
         obs = m.obs_count()
         n_culled = 0
@@ -309,6 +314,10 @@ class LocalMapper:
                 valid = m.valid_kf_ids()
                 pos = np.searchsorted(valid, k)
                 if pos == 0 or pos >= len(valid) - 1:
+                    continue
+                # never break the head of the temporal chain (reference
+                # pKF->mnId > mnId-2 guard, src/LocalMapping.cc:1362)
+                if pos >= len(valid) - 3:
                     continue
                 prev_k = int(valid[pos - 1])
                 next_k = int(valid[pos + 1])

@@ -55,6 +55,10 @@ class LoopCloser:
         self.bow_filled = np.zeros(map_state.cfg.max_keyframes, bool)
         self.stats = {"loops_detected": 0, "loops_corrected": 0, "candidates_checked": 0}
         self.last_loop_kf = -1
+        # bound by the system to the tracker's IMU state; an IMU-initialized
+        # (gravity-aligned, metric) map corrects with the 4DoF essential graph
+        # (reference OptimizeEssentialGraph4DoF, src/LoopClosing.cc:1524-1533)
+        self.is_inertial = lambda: False
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, pre_correct=None,
@@ -294,13 +298,21 @@ class LoopCloser:
         fixed = np.zeros(K, bool)
         fixed[lut[kf2]] = True   # reference fixes the loop keyframe
 
+        if self.is_inertial():
+            # yaw + translation only: gravity pins roll/pitch, IMU pins scale
+            dof = np.array([0, 0, 1, 1, 1, 1, 0], bool)
+        elif self.fix_scale:
+            dof = np.array([1, 1, 1, 1, 1, 1, 0], bool)
+        else:
+            dof = np.ones(7, bool)
         s_n, R_n, t_n, costs = posegraph.optimize_pose_graph(
             jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
             jnp.ones(K, bool), jnp.asarray(fixed),
             jnp.asarray(edges_i, jnp.int32), jnp.asarray(edges_j, jnp.int32),
             jnp.asarray(ms, jnp.float32), jnp.asarray(np.stack(mR), jnp.float32),
             jnp.asarray(np.stack(mt), jnp.float32),
-            jnp.ones(len(ms), bool), jnp.asarray(wts, jnp.float32), iters=15)
+            jnp.ones(len(ms), bool), jnp.asarray(wts, jnp.float32), iters=15,
+            dof_mask=jnp.asarray(dof))
         s_n = np.asarray(s_n); R_n = np.asarray(R_n); t_n = np.asarray(t_n)
 
         # correct map points via their reference KF (reference :1318-1444):

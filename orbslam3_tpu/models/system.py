@@ -70,6 +70,8 @@ class SlamSystem:
             from .loop_closing import LoopCloser
             self.loop_closer = LoopCloser(m, self._K, self._wh,
                                           fix_scale=self._bf > 0)
+            self.loop_closer.is_inertial = (
+                lambda: getattr(self.tracker, "imu_initialized", False))
 
         self.mapper.on_poses_corrected = self._on_world_corrected
 
@@ -319,6 +321,73 @@ class SlamSystem:
             for i in range(len(ts)):
                 M = np.concatenate([R_wc[i], t_wc[i][:, None]], axis=1)
                 f.write(" ".join(f"{v:.9e}" for v in M.reshape(-1)) + "\n")
+
+    # -- reference System API parity (src/System.cc:382-419, 752-796) -------
+    def activate_localization_mode(self):
+        """Freeze the map; tracking-only (reference ActivateLocalizationMode
+        src/System.cc:382 — pauses LocalMapping and sets mbOnlyTracking)."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        """Resume mapping (reference DeactivateLocalizationMode
+        src/System.cc:390)."""
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        """Full system reset: wipe every map in the Atlas (reference
+        System::Reset → Tracking::Reset, src/System.cc:411)."""
+        from .atlas import Atlas
+        self.wait_idle()
+        self.atlas = Atlas(self.map_cfg)
+        self._bind_map(self.atlas.current)
+        self.tracker.reset_for_new_map(self.atlas.current)
+        self.tracker.trajectory.clear()
+
+    def reset_active_map(self):
+        """Wipe only the active map (reference System::ResetActiveMap →
+        Tracking::ResetActiveMap, src/System.cc:416)."""
+        from .map import MapState
+        self.wait_idle()
+        cur = self.atlas.current
+        idx = self.atlas.current_idx
+        self.atlas.maps[idx] = MapState(self.map_cfg, map_id=cur.map_id)
+        self._bind_map(self.atlas.maps[idx])
+        self.tracker.reset_for_new_map(self.atlas.maps[idx])
+
+    def get_tracking_state(self) -> TrackState:
+        """Reference GetTrackingState (src/System.cc:752)."""
+        return self.tracker.state
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """Map-point ids matched in the current frame (reference
+        GetTrackedMapPoints src/System.cc:758)."""
+        lf = self.tracker.last_frame
+        if lf is None:
+            return np.zeros(0, np.int64)
+        mp = lf.feat_mp[lf.feat_mp >= 0]
+        return mp[self.map.mp_valid[mp]]
+
+    def get_tracked_keypoints(self) -> np.ndarray:
+        """(N,2) keypoints of the current frame (reference
+        GetTrackedKeyPointsUn src/System.cc:764)."""
+        lf = self.tracker.last_frame
+        if lf is None:
+            return np.zeros((0, 2), np.float32)
+        return lf.xy[lf.valid]
+
+    def save_map(self, dir_path: str):
+        """Persist the whole Atlas (reference SaveMap — scaffolded-only in
+        V0.4, include/System.h:172-174; a real feature here)."""
+        from ..utils import serialization
+        self.wait_idle()
+        serialization.save_atlas(self.atlas, dir_path)
+
+    def load_map(self, dir_path: str):
+        """Restore an Atlas checkpoint and re-bind the pipeline to it."""
+        from ..utils import serialization
+        self.atlas = serialization.load_atlas(dir_path, self.map_cfg)
+        self._bind_map(self.atlas.current)
+        self.tracker.reset_for_new_map(self.atlas.current)
 
     def stats(self) -> dict:
         ft = np.array(self.frame_times) if self.frame_times else np.zeros(1)

@@ -84,6 +84,9 @@ class TrackingParams:
     # so a motion-model seed cannot random-walk down them; negligible along
     # observed directions. 0 disables. (ops/pose_opt.py docstring.)
     pose_prior_eps: float = 3e-4
+    # RECENTLY_LOST dead-reckoning window with an initialized IMU (reference
+    # time_recently_lost = 5 s, src/Tracking.cc:2044)
+    time_recently_lost: float = 5.0
 
 
 class Tracker:
@@ -111,6 +114,10 @@ class Tracker:
         self.th_depth = float(th_depth)
         # two-camera fisheye rig (reference Camera2.* + Tlr; set_fisheye_rig)
         self.rig = None
+        # localization-only mode (reference mbOnlyTracking,
+        # System::ActivateLocalizationMode src/System.cc:382): track against
+        # the frozen map, never spawn keyframes
+        self.only_tracking = False
 
         self.state = TrackState.NOT_INITIALIZED
         self.extract = feat_ops.make_extractor(int(wh[1]), int(wh[0]), orb_cfg)
@@ -155,6 +162,7 @@ class Tracker:
         self.try_cross_map_reloc = None
         self.consecutive_lost = 0
         self.frames_to_new_map = 20   # ≈1 s at 20 fps (reference 5 s)
+        self.lost_ts: float | None = None   # ts of the OK→lost transition
         # per-frame trajectory log: (ts, ref_kf, R_cr, t_cr, lost)
         self.trajectory: list = []
         # callback the system wires to local mapping
@@ -222,12 +230,18 @@ class Tracker:
         else:
             self.preint_since_kf = imu_ops.compose(self.preint_since_kf, st)
 
-    def _predict_pose_imu(self, frame: Frame) -> bool:
-        """IMU state propagation as pose prediction (reference PredictStateIMU)."""
+    def _predict_pose_imu(self, frame: Frame, allow_untracked: bool = False) -> bool:
+        """IMU state propagation as pose prediction (reference PredictStateIMU).
+
+        ``allow_untracked`` permits propagating from a last frame whose own
+        pose was only an IMU prediction (RECENTLY_LOST dead-reckoning,
+        reference src/Tracking.cc:2007-2016); the propagated velocity is then
+        stored so the dead-reckon chain continues across lost frames."""
         from ..ops import imu as imu_ops
         import jax.numpy as jnp
         if (self.frame_preint is None or self.last_frame is None
-                or not self.last_frame.tracked or self.velocity_w is None):
+                or self.velocity_w is None or self.last_frame.R is None
+                or (not self.last_frame.tracked and not allow_untracked)):
             return False
         Rl, tl = self.last_frame.R, self.last_frame.t
         R_wb = Rl.T
@@ -239,6 +253,8 @@ class Tracker:
         R2 = np.asarray(R2); p2 = np.asarray(p2)
         frame.R = R2.T.astype(np.float32)
         frame.t = (-R2.T @ p2).astype(np.float32)
+        if allow_untracked:
+            self.velocity_w = np.asarray(v2, np.float32)
         return True
 
     def try_imu_init(self, min_kfs: int = 8, prior_g: float | None = None,
@@ -725,14 +741,21 @@ class Tracker:
             if not ok:
                 ok = self._track_reference_kf(frame)
         else:
-            # lost: relocalize against recent keyframes (reference Relocalization
-            # src/Tracking.cc:4153; candidate source here is recency until the
-            # keyframe database lands)
-            ok = self._relocalize(frame)
-            if not ok and self.try_cross_map_reloc is not None:
-                # relocalizing into a STORED map triggers a map merge
-                # (reference NewDetectCommonRegions merge branch)
-                ok = self.try_cross_map_reloc(frame)
+            if (self.state == TrackState.RECENTLY_LOST and self.imu_initialized
+                    and self.lost_ts is not None
+                    and frame.ts - self.lost_ts <= self.p.time_recently_lost):
+                # IMU dead-reckoning substitutes for relocalization for up to
+                # time_recently_lost (reference src/Tracking.cc:2007-2016)
+                ok = self._track_recently_lost_imu(frame)
+            if not ok:
+                # lost: relocalize against recent keyframes (reference
+                # Relocalization src/Tracking.cc:4153; candidate source here is
+                # recency until the keyframe database lands)
+                ok = self._relocalize(frame)
+                if not ok and self.try_cross_map_reloc is not None:
+                    # relocalizing into a STORED map triggers a map merge
+                    # (reference NewDetectCommonRegions merge branch)
+                    ok = self.try_cross_map_reloc(frame)
 
         if ok:
             ok = self._track_local_map(frame)
@@ -759,18 +782,27 @@ class Tracker:
                 self.velocity = (Rv, tv)
             else:
                 self.velocity = None
-            if self._need_new_keyframe(frame):
+            if not self.only_tracking and self._need_new_keyframe(frame):
                 self._create_new_keyframe(frame)
             self.consecutive_lost = 0
         else:
             self.velocity = None
+            if self.state == TrackState.OK:
+                self.lost_ts = frame.ts
             if self.map.n_kf > 10:
                 self.state = TrackState.RECENTLY_LOST
             else:
                 self.state = TrackState.LOST
             self.consecutive_lost += 1
-            if (self.consecutive_lost >= self.frames_to_new_map
-                    and self.on_tracking_lost is not None):
+            # with an initialized IMU the loss window is time-based (the
+            # reference's time_recently_lost = 5 s, src/Tracking.cc:2044);
+            # visual-only gives up after frames_to_new_map frames
+            if self.imu_initialized and self.lost_ts is not None:
+                new_map_due = (frame.ts - self.lost_ts
+                               > self.p.time_recently_lost)
+            else:
+                new_map_due = self.consecutive_lost >= self.frames_to_new_map
+            if new_map_due and self.on_tracking_lost is not None:
                 self.on_tracking_lost()
                 self.consecutive_lost = 0
         return ok
@@ -782,6 +814,7 @@ class Tracker:
                       else TrackState.RECENTLY_LOST)
         self.init_frame = None
         self.velocity = None
+        self.lost_ts = None
         self.ref_kf = int(new_map.valid_kf_ids()[-1]) if new_map.n_kf else -1
         self.kf_preints = {}
         self.preint_since_kf = None
@@ -961,6 +994,33 @@ class Tracker:
         inl = np.asarray(res.inlier)
         frame.feat_mp[matched & ~inl] = -1
         return int(inl.sum())
+
+    def _track_recently_lost_imu(self, frame: Frame) -> bool:
+        """Dead-reckon on the IMU while RECENTLY_LOST and try to re-acquire
+        visually (reference src/Tracking.cc:2007-2016: with an initialized IMU
+        the predicted state substitutes for relocalization for up to
+        time_recently_lost seconds; TrackLocalMap then re-acquires). Even when
+        re-acquisition fails the frame keeps the predicted pose, so the
+        dead-reckon chain — and the exported trajectory — stays continuous."""
+        if not self._predict_pose_imu(frame, allow_untracked=True):
+            return False
+        m = self.map
+        p = self.p
+        if self.ref_kf < 0 or not m.kf_valid[self.ref_kf]:
+            return False
+        kfs = np.unique(np.concatenate(
+            [[self.ref_kf], m.best_covisible(self.ref_kf, 10)])).astype(np.int64)
+        mps = m.local_map_points(kfs)
+        if len(mps) == 0:
+            return False
+        # wider window than motion-model tracking: the prediction has drifted
+        n = self._project_and_assign(frame, mps, p.max_local_mps,
+                                     2.0 * p.motion_radius, p.motion_ratio,
+                                     p.th_high)
+        if n < p.min_motion_matches:
+            return False
+        inl = self._optimize_frame_pose(frame)
+        return inl >= p.min_motion_inliers
 
     def _track_with_prediction(self, frame: Frame) -> bool:
         """Track against last-frame points from an already-set predicted pose

@@ -144,10 +144,6 @@ def pose_optimize(
         dRr, dtr = lie.se3_compose(R, t, pRi, pti)
         return lie.se3_log(dRr, dtr)
 
-    def prior_cost(R, t):
-        e0 = prior_err(R, t)
-        return jnp.sum(lam_diag * e0 * e0)
-
     def huber_cost(chi2, w_mask):
         # UNBOUNDED robust cost for the LM accept test — a capped cost
         # saturates when the initial pose is poor, blinding LM to real
@@ -159,26 +155,37 @@ def pose_optimize(
         rho = jnp.minimum(rho, 1e6)
         return jnp.sum(rho * w_mask)
 
+    def nq_prior(R, t, w_mask):
+        """Normal equations + robust cost with the prior folded in — computed
+        ONCE per LM iteration (the accepted candidate's system is reused as
+        the next iteration's linearization; the rejected one is discarded)."""
+        H, b, chi2 = nq(R, t, w_mask)
+        e0 = prior_err(R, t)
+        Hp = H + jnp.diag(lam_diag)
+        bp = b - lam_diag * e0
+        cost = huber_cost(chi2, w_mask) + jnp.sum(lam_diag * e0 * e0)
+        return Hp, bp, cost
+
     def lm_iters(R, t, w_mask):
         def body(_, carry):
-            R, t, lam = carry
-            H, b, c_old = nq(R, t, w_mask)
-            e0 = prior_err(R, t)
-            H = H + jnp.diag(lam_diag)
-            b = b - lam_diag * e0
+            R, t, lam, H, b, c = carry
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
             dx = jnp.linalg.solve(Hd, b)
             Rn_, tn_ = lie.se3_exp(dx)
             Rn, tn = lie.se3_compose(Rn_, tn_, R, t)
-            _, _, c_new = nq(Rn, tn, w_mask)
-            good = (huber_cost(c_new, w_mask) + prior_cost(Rn, tn)
-                    < huber_cost(c_old, w_mask) + prior_cost(R, t))
+            Hn, bn, cn = nq_prior(Rn, tn, w_mask)
+            good = cn < c
             R = jnp.where(good, Rn, R)
             t = jnp.where(good, tn, t)
+            H = jnp.where(good, Hn, H)
+            b = jnp.where(good, bn, b)
+            c = jnp.where(good, cn, c)
             lam = jnp.where(good, lam * 0.5, lam * 4.0)
-            return R, t, lam
+            return R, t, lam, H, b, c
 
-        R, t, _ = jax.lax.fori_loop(0, iters, body, (R, t, jnp.asarray(1e-3, dtype)))
+        H0, b0, c0 = nq_prior(R, t, w_mask)
+        R, t, _, _, _, _ = jax.lax.fori_loop(
+            0, iters, body, (R, t, jnp.asarray(1e-3, dtype), H0, b0, c0))
         return R, t
 
     def round_body(i, carry):

@@ -24,11 +24,13 @@ from . import lie
 
 def _edge_residual(xi_i, xi_j, s_i, R_i, t_i, s_j, R_j, t_j, m_s, m_R, m_t):
     """Residual of one edge at local updates (xi_i, xi_j) ∈ R7 applied on the
-    left of each node: S ← Exp(xi) ∘ S."""
+    RIGHT of each node: S ← S ∘ Exp(xi). Nodes are world→kf, so a right
+    increment acts in the WORLD frame — required so that dof_mask's rotation
+    components mean world-axis rotations (4DoF yaw = world gravity axis)."""
     ds_i, dR_i, dt_i = lie.sim3_exp(xi_i)
     ds_j, dR_j, dt_j = lie.sim3_exp(xi_j)
-    si, Ri, ti = lie.sim3_compose(ds_i, dR_i, dt_i, s_i, R_i, t_i)
-    sj, Rj, tj = lie.sim3_compose(ds_j, dR_j, dt_j, s_j, R_j, t_j)
+    si, Ri, ti = lie.sim3_compose(s_i, R_i, t_i, ds_i, dR_i, dt_i)
+    sj, Rj, tj = lie.sim3_compose(s_j, R_j, t_j, ds_j, dR_j, dt_j)
     sji, Rji, tji = lie.sim3_inverse(sj, Rj, tj)
     s_ij, R_ij, t_ij = lie.sim3_compose(si, Ri, ti, sji, Rji, tji)
     # error = meas⁻¹ ∘ S_ij
@@ -42,9 +44,18 @@ def optimize_pose_graph(
     fixed: jax.Array,
     edge_i: jax.Array, edge_j: jax.Array, edge_s: jax.Array, edge_R: jax.Array,
     edge_t: jax.Array, edge_valid: jax.Array, edge_weight: jax.Array,
-    iters: int = 20, lam: float = 1e-6,
+    iters: int = 20, lam: float = 1e-6, dof_mask: jax.Array | None = None,
 ):
     """GN over the pose graph. Shapes: nodes (K,...), edges (E,...).
+
+    dof_mask: optional (7,) bool over the sim3 tangent [w(3)|v(3)|sigma]
+    selecting which update directions are free. This subsumes the
+    reference's variants: all-True = OptimizeEssentialGraph Sim(3)
+    (src/Optimizer.cc:2361); scale masked = the bFixScale stereo/RGBD mode;
+    [0,0,yaw | v | 0] = OptimizeEssentialGraph4DoF for gravity-aligned
+    inertial maps (src/Optimizer.cc:8367 — roll/pitch pinned by gravity,
+    scale metric). Masked directions never move; the residual/Jacobian
+    machinery is shared.
 
     Returns optimized (s, R, t).
     """
@@ -82,13 +93,15 @@ def optimize_pose_graph(
 
         Hm = H.reshape(K * 7, K * 7)
         free = jnp.repeat(node_valid & ~fixed, 7)
+        if dof_mask is not None:
+            free = free & jnp.tile(jnp.asarray(dof_mask, bool), K)
         Hm = jnp.where(free[:, None] & free[None, :], Hm, 0.0)
         Hm = Hm + jnp.diag(jnp.where(free, lam, 1.0) + jnp.where(free, 0.0, 0.0))
         bv = jnp.where(free, b.reshape(-1), 0.0)
         dx = jnp.linalg.solve(Hm, bv).reshape(K, 7)
 
         ds, dR, dt = lie.sim3_exp(dx)
-        sn, Rn, tn = lie.sim3_compose(ds, dR, dt, s, R, t)
+        sn, Rn, tn = lie.sim3_compose(s, R, t, ds, dR, dt)
         upd = (node_valid & ~fixed)
         s = jnp.where(upd, sn, s)
         R = jnp.where(upd[:, None, None], Rn, R)

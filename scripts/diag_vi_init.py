@@ -1,22 +1,19 @@
-"""Monocular-inertial end-to-end: IMU initialization recovers metric scale
-and gravity on a synthetic sequence (camera = body, 200 Hz IMU)."""
+"""Diagnose why try_imu_init fails on the mono-inertial E2E fixture."""
 import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
-import pytest
 
 from orbslam3_tpu.models.system import SlamSystem
-from orbslam3_tpu.models.tracking import TrackState
 from orbslam3_tpu.ops import lie
 from orbslam3_tpu.utils.datasets import RoomScene
-from orbslam3_tpu.utils.evaluation import evaluate_trajectory
 
-G_W = np.array([0.0, 9.81, 0.0])  # camera y is down → gravity along +y in world
+G_W = np.array([0.0, 9.81, 0.0])
 FPS = 20.0
 IMU_HZ = 200
 
 
 def pose_at(x, radius=0.6, forward=0.03, yaw_rate=0.003):
-    """Continuous version of orbit_trajectory (x in frame units)."""
     c = np.array([radius * np.sin(0.04 * x), 0.15 * np.sin(0.02 * x), forward * x])
     yaw = yaw_rate * x
     cy, sy = np.cos(yaw), np.sin(yaw)
@@ -25,12 +22,11 @@ def pose_at(x, radius=0.6, forward=0.03, yaw_rate=0.003):
 
 
 def make_imu(n_frames):
-    """Analytic IMU stream at IMU_HZ between frames at FPS."""
     dt = 1.0 / IMU_HZ
     n_steps = int(n_frames * IMU_HZ / FPS)
-    xs = np.arange(n_steps + 1) * (FPS / IMU_HZ)  # frame-unit time
+    xs = np.arange(n_steps + 1) * (FPS / IMU_HZ)
     poses = [pose_at(x) for x in xs]
-    R_wb = np.stack([R.T for R, t in poses])          # body→world
+    R_wb = np.stack([R.T for R, t in poses])
     p = np.stack([-R.T @ t for R, t in poses])
     v = np.gradient(p, dt, axis=0)
     a_w = np.gradient(v, dt, axis=0)
@@ -43,17 +39,31 @@ def make_imu(n_frames):
     return ts, gyro.astype(np.float32), acc.astype(np.float32)
 
 
-def test_mono_inertial_recovers_metric_scale():
-    # ≥2 s of travel: the init needs ≥0.25 s-spaced keyframe pairs for the
-    # gravity/scale signal (reference waits 1-2 s before InitializeIMU too)
-    n_frames = 40
+def main(n_frames=40):
     scene = RoomScene(seed=4, depth=6.0, half_w=4.0, half_h=2.5)
     imu_ts, gyro, acc = make_imu(n_frames)
     sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
                      enable_loop_closing=False)
     sys.enable_imu(freq=IMU_HZ)
+    tr = sys.tracker
+
+    orig = tr.try_imu_init
+
+    def instrumented(min_kfs=8, **kw):
+        m = tr.map
+        kfs = [int(k) for k in m.valid_kf_ids()]
+        chain0 = [k for k in kfs if k in tr.kf_preints or k == kfs[0]]
+        contig = [True] * len(chain0)
+        for i in range(1, len(chain0)):
+            dt_kf = float(m.kf_ts[chain0[i]] - m.kf_ts[chain0[i - 1]])
+            contig[i] = abs(float(tr.kf_preints[chain0[i]].dT) - dt_kf) < 0.015
+        ok = orig(min_kfs=min_kfs, **kw)
+        print(f"  try_imu_init(kw={kw}): nkf={len(kfs)} chain0={len(chain0)} "
+              f"contig={sum(contig)}/{len(contig)} -> {ok}")
+        return ok
+
+    tr.try_imu_init = instrumented
     per = IMU_HZ // int(FPS)
-    gt = []
     for i in range(n_frames):
         R, t = pose_at(i)
         img = scene.render(R, t)
@@ -63,15 +73,11 @@ def test_mono_inertial_recovers_metric_scale():
         sys.track_monocular_inertial(
             img, ts=i / FPS, imu_ts=imu_ts[s0:s1], imu_gyro=gyro[s0:s1],
             imu_acc=acc[s0:s1])
-        gt.append(-R.T @ t)
-    assert sys.tracker.imu_initialized, sys.stats()
-    # metric check: align WITHOUT scale — IMU must have recovered true scale
-    ts, R_wc, t_wc, lost = sys.export_trajectory()
-    sel = ~lost
-    ate, n = evaluate_trajectory(np.arange(n_frames) / FPS, np.array(gt),
-                                 ts[sel], t_wc[sel], with_scale=False)
-    ate_s, _ = evaluate_trajectory(np.arange(n_frames) / FPS, np.array(gt),
-                                   ts[sel], t_wc[sel], with_scale=True)
-    # scale-free ATE must be close to the scale-aligned one (scale ≈ metric)
-    assert ate < 0.4, (ate, ate_s)
-    assert ate < 3.0 * max(ate_s, 0.02), (ate, ate_s)
+        if i % 5 == 0 or i == n_frames - 1:
+            print(f"frame {i}: state={sys.state.name} nKF={len(sys.map.valid_kf_ids())} "
+                  f"imu_init={tr.imu_initialized}")
+    print("stats:", sys.stats())
+
+
+if __name__ == "__main__":
+    main()

@@ -113,3 +113,64 @@ def test_vocab_transform_and_scoring():
     db = jnp.stack([v1b, v2])
     scores = np.asarray(vocab.l1_scores(v1, db))
     assert scores[0] > 1.8 * scores[1], scores
+
+
+def test_pose_graph_4dof_preserves_gravity_and_scale():
+    """4DoF essential graph (reference OptimizeEssentialGraph4DoF,
+    src/Optimizer.cc:8367): with dof_mask = [0,0,yaw | v | 0] the correction
+    moves yaw + translation only — every node's world-z direction (gravity
+    axis of an IMU-aligned map) and scale are bit-preserved, yet the loop
+    still closes in translation."""
+    rng = np.random.default_rng(5)
+    K = 10
+    angles = np.linspace(0, 2 * np.pi * (K - 1) / K, K)
+    gt_t = np.stack([np.cos(angles), np.sin(angles), np.zeros(K)], -1).astype(np.float32) * 2
+    gt_R = np.stack([np.asarray(lie.so3_exp(jnp.asarray([0, 0, a], jnp.float32)))
+                     for a in angles])
+    gt_s = np.ones(K, np.float32)
+
+    edges_i, edges_j, ms, mR, mt = [], [], [], [], []
+
+    def rel(i, j):
+        sji, Rji, tji = lie.sim3_inverse(jnp.asarray(gt_s[j]), jnp.asarray(gt_R[j]),
+                                         jnp.asarray(gt_t[j]))
+        return lie.sim3_compose(jnp.asarray(gt_s[i]), jnp.asarray(gt_R[i]),
+                                jnp.asarray(gt_t[i]), sji, Rji, tji)
+
+    for i in range(K - 1):
+        s_, R_, t_ = rel(i + 1, i)
+        edges_i.append(i + 1); edges_j.append(i)
+        ms.append(float(s_)); mR.append(np.asarray(R_)); mt.append(np.asarray(t_))
+    s_, R_, t_ = rel(0, K - 1)
+    edges_i.append(0); edges_j.append(K - 1)
+    ms.append(float(s_)); mR.append(np.asarray(R_)); mt.append(np.asarray(t_))
+
+    # drift: yaw-only rotation error + translation error (what an inertial
+    # map accumulates — roll/pitch/scale are pinned by gravity/IMU)
+    est_R = [gt_R[0]]; est_t = [gt_t[0]]
+    for i in range(1, K):
+        dyaw = np.asarray(lie.so3_exp(jnp.asarray(
+            [0.0, 0.0, rng.normal(0, 0.05)], jnp.float32)))
+        est_R.append(gt_R[i] @ dyaw)
+        est_t.append(gt_t[i] + rng.normal(0, 0.15, 3).astype(np.float32))
+    est_R = np.stack(est_R); est_t = np.stack(est_t).astype(np.float32)
+    fixed = np.zeros(K, bool); fixed[0] = True
+    dof = jnp.asarray(np.array([0, 0, 1, 1, 1, 1, 0], bool))
+
+    s, R, t, costs = posegraph.optimize_pose_graph(
+        jnp.ones(K, jnp.float32), jnp.asarray(est_R), jnp.asarray(est_t),
+        jnp.ones(K, bool), jnp.asarray(fixed),
+        jnp.asarray(edges_i, jnp.int32), jnp.asarray(edges_j, jnp.int32),
+        jnp.asarray(ms, jnp.float32), jnp.asarray(np.stack(mR)),
+        jnp.asarray(np.stack(mt).astype(np.float32)),
+        jnp.ones(K, bool), jnp.ones(K, jnp.float32), iters=15, dof_mask=dof)
+    s = np.asarray(s); R = np.asarray(R); t = np.asarray(t)
+    # scale untouched
+    assert np.abs(s - 1.0).max() < 1e-6
+    # world gravity axis untouched: R @ e_z identical to the estimate's
+    z_before = est_R @ np.array([0, 0, 1.0], np.float32)
+    z_after = R @ np.array([0, 0, 1.0], np.float32)
+    assert np.abs(z_after - z_before).max() < 1e-5
+    # loop closed
+    assert float(costs[-1]) < 1e-4, float(costs[-1])
+    assert np.abs(t - gt_t).max() < 0.05, np.abs(t - gt_t).max()
