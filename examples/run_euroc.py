@@ -27,7 +27,10 @@ from orbslam3_tpu.utils.evaluation import evaluate_trajectory
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
-    ap.add_argument("seq_dir")
+    ap.add_argument("seq_dirs", nargs="+",
+                    help="one or more sequence roots; several = a multi-"
+                    "session Atlas run (reference ChangeDataset, "
+                    "mono_inertial_euroc.cc:192-197)")
     ap.add_argument("--mode", default="mono",
                     choices=["mono", "stereo", "mono_vi", "stereo_vi"])
     ap.add_argument("--out", default="trajectory_tum.txt")
@@ -38,31 +41,36 @@ def main():
 
     import cv2
     slam = system_from_config(args.settings)
-    stamps, paths = load_euroc_images(args.seq_dir, "cam0")
-    if args.mode.startswith("stereo"):
-        stamps_r, paths_r = load_euroc_images(args.seq_dir, "cam1")
-    if args.mode.endswith("_vi"):
-        imu_ts, gyro, acc = load_euroc_imu(args.seq_dir)
-        cursor = 0
-
-    n = len(stamps) if not args.max_frames else min(args.max_frames, len(stamps))
     t_start = time.perf_counter()
-    for i in range(n):
-        img = cv2.imread(paths[i], cv2.IMREAD_GRAYSCALE).astype(np.float32)
-        ts = stamps[i]
-        if args.mode.endswith("_vi"):
-            end = np.searchsorted(imu_ts, ts, side="right")
-            slam.tracker.grab_imu(imu_ts[cursor:end], gyro[cursor:end], acc[cursor:end])
-            cursor = end
+    n_done = 0
+    for si, seq_dir in enumerate(args.seq_dirs):
+        stamps, paths = load_euroc_images(seq_dir, "cam0")
         if args.mode.startswith("stereo"):
-            img_r = cv2.imread(paths_r[i], cv2.IMREAD_GRAYSCALE).astype(np.float32)
-            info = slam.track_stereo(img, img_r, ts)
-        else:
-            info = slam.track_monocular(img, ts)
-        if i % 50 == 0:
-            print(f"[{i}/{n}] {info} "
-                  f"({(i + 1) / (time.perf_counter() - t_start):.1f} fps)",
-                  flush=True)
+            stamps_r, paths_r = load_euroc_images(seq_dir, "cam1")
+        if args.mode.endswith("_vi"):
+            imu_ts, gyro, acc = load_euroc_imu(seq_dir)
+            cursor = 0
+        if si > 0:
+            print(f"-- session {si + 1}/{len(args.seq_dirs)}: {seq_dir} "
+                  "(timestamp-gap handling spawns/merges Atlas sub-maps)")
+        n = len(stamps) if not args.max_frames else min(args.max_frames, len(stamps))
+        for i in range(n):
+            img = cv2.imread(paths[i], cv2.IMREAD_GRAYSCALE).astype(np.float32)
+            ts = stamps[i]
+            if args.mode.endswith("_vi"):
+                end = np.searchsorted(imu_ts, ts, side="right")
+                slam.tracker.grab_imu(imu_ts[cursor:end], gyro[cursor:end], acc[cursor:end])
+                cursor = end
+            if args.mode.startswith("stereo"):
+                img_r = cv2.imread(paths_r[i], cv2.IMREAD_GRAYSCALE).astype(np.float32)
+                info = slam.track_stereo(img, img_r, ts)
+            else:
+                info = slam.track_monocular(img, ts)
+            n_done += 1
+            if i % 50 == 0:
+                print(f"[{i}/{n}] {info} "
+                      f"({n_done / (time.perf_counter() - t_start):.1f} fps)",
+                      flush=True)
 
     slam.save_trajectory_tum(args.out)
     print("stats:", slam.stats())

