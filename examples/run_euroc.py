@@ -41,6 +41,12 @@ def main():
 
     import cv2
     slam = system_from_config(args.settings)
+    # EuRoC stereo pairs are unrectified; the reference examples rectify with
+    # the LEFT./RIGHT. YAML blocks before TrackStereo
+    # (Examples/Stereo/stereo_euroc.cc:92-118)
+    rect = None
+    if args.mode.startswith("stereo"):
+        rect = load_config(args.settings).stereo_rectify_maps()
     t_start = time.perf_counter()
     n_done = 0
     for si, seq_dir in enumerate(args.seq_dirs):
@@ -63,6 +69,9 @@ def main():
                 cursor = end
             if args.mode.startswith("stereo"):
                 img_r = cv2.imread(paths_r[i], cv2.IMREAD_GRAYSCALE).astype(np.float32)
+                if rect is not None:
+                    img = cv2.remap(img, rect[0][0], rect[0][1], cv2.INTER_LINEAR)
+                    img_r = cv2.remap(img_r, rect[1][0], rect[1][1], cv2.INTER_LINEAR)
                 info = slam.track_stereo(img, img_r, ts)
             else:
                 info = slam.track_monocular(img, ts)

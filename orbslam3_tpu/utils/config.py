@@ -40,7 +40,34 @@ class SlamConfig:
     imu_gyro_walk: float = 1.9e-5
     imu_acc_walk: float = 3e-3
     Tbc: np.ndarray = None              # (4,4) body←camera
+    th_far_points: float = 0.0          # reference thFarPoints (src/System.cc:139-147)
+    # example-level stereo rectification (reference
+    # Examples/Stereo/stereo_euroc.cc:92-118: LEFT./RIGHT. K,D,R,P)
+    rect_left: dict = None              # {K,D,R,P,width,height} raw matrices
+    rect_right: dict = None
+    # two-camera fisheye rig (reference Camera2.* + Tlr + lapping areas)
+    K2: np.ndarray = None               # (8,) fx fy cx cy k1..k4 (KB8)
+    Tlr: np.ndarray = None              # (4,4) right←left ... (reference Tlr)
+    lapping1: tuple = None
+    lapping2: tuple = None
     missing: list = field(default_factory=list)
+
+    def stereo_rectify_maps(self):
+        """Build undistort+rectify pixel maps from the LEFT./RIGHT. blocks
+        (the reference examples rectify EuRoC stereo pairs before feeding
+        TrackStereo, Examples/Stereo/stereo_euroc.cc:92-118). Returns
+        ((map1x,map1y),(map2x,map2y)) for cv2.remap, or None if the YAML has
+        no rectification blocks."""
+        if not (self.rect_left and self.rect_right):
+            return None
+        import cv2
+        maps = []
+        for r in (self.rect_left, self.rect_right):
+            m1, m2 = cv2.initUndistortRectifyMap(
+                r["K"], r["D"], r["R"], r["P"][:3, :3],
+                (int(r["width"]), int(r["height"])), cv2.CV_32FC1)
+            maps.append((m1, m2))
+        return tuple(maps)
 
 
 def load_config(path: str) -> SlamConfig:
@@ -95,6 +122,37 @@ def load_config(path: str) -> SlamConfig:
     cfg.ini_th_fast = int(get("ORBextractor.iniThFAST", cfg.ini_th_fast))
     cfg.min_th_fast = int(get("ORBextractor.minThFAST", cfg.min_th_fast))
 
+    cfg.th_far_points = float(get("thFarPoints", 0.0))
+
+    # second (right) camera of a two-camera fisheye rig
+    fx2 = get("Camera2.fx")
+    if fx2 is not None and cam_type == "KannalaBrandt8":
+        cfg.K2 = np.asarray(
+            [fx2, get("Camera2.fy", 0.0), get("Camera2.cx", 0.0),
+             get("Camera2.cy", 0.0)] +
+            [get(f"Camera2.k{i+1}", 0.0) for i in range(4)], np.float32)
+        tlr = get("Tlr")
+        if tlr is not None and hasattr(tlr, "shape"):
+            cfg.Tlr = np.asarray(tlr, np.float32).reshape(-1, 4)
+        cfg.lapping1 = (float(get("Camera.lappingBegin", 0.0)),
+                        float(get("Camera.lappingEnd", 1e9)))
+        cfg.lapping2 = (float(get("Camera2.lappingBegin", 0.0)),
+                        float(get("Camera2.lappingEnd", 1e9)))
+
+    # example-level stereo rectification blocks
+    def rect_block(prefix):
+        K = get(f"{prefix}.K"); D = get(f"{prefix}.D")
+        R = get(f"{prefix}.R"); P = get(f"{prefix}.P")
+        w = get(f"{prefix}.width"); h = get(f"{prefix}.height")
+        if any(v is None for v in (K, D, R, P, w, h)):
+            return None
+        return {"K": np.asarray(K, np.float64), "D": np.asarray(D, np.float64),
+                "R": np.asarray(R, np.float64), "P": np.asarray(P, np.float64),
+                "width": int(w), "height": int(h)}
+
+    cfg.rect_left = rect_block("LEFT")
+    cfg.rect_right = rect_block("RIGHT")
+
     tbc = get("Tbc")
     if tbc is not None and hasattr(tbc, "shape"):
         cfg.Tbc = np.asarray(tbc, np.float32).reshape(4, 4)
@@ -116,9 +174,18 @@ def system_from_config(path: str, **kwargs):
     System ctor path, src/System.cc:41-181)."""
     from ..models.system import SlamSystem
     cfg = load_config(path)
-    sys = SlamSystem(cfg.K, cfg.D, (cfg.width, cfg.height),
+    cam_type = 1 if cfg.camera_type == "KannalaBrandt8" else 0
+    K = cfg.K if cam_type == 0 else np.concatenate([cfg.K, cfg.D])
+    sys = SlamSystem(K, cfg.D if cam_type == 0 else None,
+                     (cfg.width, cfg.height),
                      n_features=cfg.n_features, bf=cfg.bf,
-                     th_depth=cfg.th_depth, **kwargs)
+                     th_depth=cfg.th_depth, cam_type=cam_type, **kwargs)
+    if cfg.K2 is not None and cfg.Tlr is not None:
+        # two-camera fisheye rig (reference Camera2.* + Tlr)
+        R_rl = cfg.Tlr[:3, :3].T
+        t_rl = -R_rl @ cfg.Tlr[:3, 3]
+        sys.set_fisheye_rig(cfg.K2, R_rl, t_rl,
+                            lap_l=cfg.lapping1, lap_r=cfg.lapping2)
     if cfg.has_imu:
         sys.enable_imu(freq=cfg.imu_freq,
                        noise=(cfg.imu_noise_gyro, cfg.imu_noise_acc,
