@@ -18,6 +18,20 @@ from ..ops import camera as cam_ops
 from ..ops import lie, matching, triangulation
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas matching on real TPUs; XLA fallback elsewhere (Pallas
+    mosaic kernels don't lower on the CPU backend used by the test mesh).
+    Opt-in via ORBSLAM3_TPU_PALLAS=1 until hardware-validated this round
+    (correctness is covered by the interpret-mode unit test)."""
+    import os
+    if not os.environ.get("ORBSLAM3_TPU_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 @functools.lru_cache(maxsize=None)
 def projection_matcher(cam_type: int, n_levels: int, scale: float,
                        octave_lo: int = 1, octave_hi: int = 1):
@@ -55,18 +69,27 @@ def projection_matcher(cam_type: int, n_levels: int, scale: float,
         frustum_ok = mp_valid & z_ok & in_img & dist_ok & view_ok
 
         radius = base_radius * sf[lvl]
-        dist_m = matching.hamming_matrix(mp_desc, feat_desc)
-        mask = (
-            frustum_ok[:, None] & feat_valid[None, :]
-            & matching.window_mask(uv, feat_xy, radius)
-            & matching.octave_mask(lvl, feat_octave, octave_lo, octave_hi)
-        )
-        d_big = jnp.where(mask, dist_m, matching.BIG)
-        idx = jnp.argmin(d_big, axis=1)
-        best = jnp.take_along_axis(d_big, idx[:, None], axis=1)[:, 0]
+        if _use_pallas():
+            # fused single-pass kernel: no (M,N) intermediates in HBM
+            # (ops/matching_pallas.py)
+            from ..ops import matching_pallas
+            idx, best, second = matching_pallas.match_rows(
+                mp_desc, uv, radius, lvl, frustum_ok,
+                feat_desc, feat_xy, feat_octave, feat_valid,
+                octave_lo=octave_lo, octave_hi=octave_hi)
+        else:
+            dist_m = matching.hamming_matrix(mp_desc, feat_desc)
+            mask = (
+                frustum_ok[:, None] & feat_valid[None, :]
+                & matching.window_mask(uv, feat_xy, radius)
+                & matching.octave_mask(lvl, feat_octave, octave_lo, octave_hi)
+            )
+            d_big = jnp.where(mask, dist_m, matching.BIG)
+            idx = jnp.argmin(d_big, axis=1)
+            best = jnp.take_along_axis(d_big, idx[:, None], axis=1)[:, 0]
+            d2 = d_big.at[jnp.arange(d_big.shape[0]), idx].set(matching.BIG)
+            second = jnp.min(d2, axis=1)
         ok = best <= max_dist
-        d2 = d_big.at[jnp.arange(d_big.shape[0]), idx].set(matching.BIG)
-        second = jnp.min(d2, axis=1)
         ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
         ok = matching.resolve_duplicates(idx, best, ok, feat_desc.shape[0])
         return idx, ok, uv, lvl, frustum_ok
