@@ -356,3 +356,50 @@ def load_euroc_imu(seq_dir: str):
             rows.append([float(x) for x in line.strip().split(",")])
     arr = np.array(rows)
     return arr[:, 0] * 1e-9, arr[:, 1:4], arr[:, 4:7]
+
+
+def load_kitti_sequence(seq_dir: str):
+    """KITTI odometry sequence loader → (timestamps (s), left paths, right
+    paths). Mirrors the reference's LoadImages
+    (Examples/Stereo/stereo_kitti.cc LoadImages: times.txt + image_0/ +
+    image_1/, %06d.png)."""
+    with open(os.path.join(seq_dir, "times.txt")) as f:
+        stamps = np.array([float(x) for x in f.read().split()])
+    left = [os.path.join(seq_dir, "image_0", f"{i:06d}.png")
+            for i in range(len(stamps))]
+    right = [os.path.join(seq_dir, "image_1", f"{i:06d}.png")
+             for i in range(len(stamps))]
+    return stamps, left, right
+
+
+def load_tum_rgbd(seq_dir: str, max_dt: float = 0.02):
+    """TUM RGB-D sequence loader → (timestamps (s), rgb paths, depth paths),
+    associated by nearest timestamp within max_dt. Mirrors the reference's
+    associate.py + LoadImages (Examples/RGB-D/rgbd_tum.cc; the reference
+    expects a pre-associated file, we associate inline like
+    evaluation/associate.py)."""
+    def read_list(name):
+        ts, paths = [], []
+        with open(os.path.join(seq_dir, name)) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                t, p = line.strip().split()[:2]
+                ts.append(float(t))
+                paths.append(os.path.join(seq_dir, p))
+        return np.array(ts), paths
+
+    rgb_ts, rgb_p = read_list("rgb.txt")
+    d_ts, d_p = read_list("depth.txt")
+    j = np.searchsorted(d_ts, rgb_ts)
+    out_ts, out_rgb, out_d = [], [], []
+    for i, t in enumerate(rgb_ts):
+        cand = [c for c in (j[i] - 1, j[i]) if 0 <= c < len(d_ts)]
+        if not cand:
+            continue
+        c = min(cand, key=lambda c: abs(d_ts[c] - t))
+        if abs(d_ts[c] - t) <= max_dt:
+            out_ts.append(t)
+            out_rgb.append(rgb_p[i])
+            out_d.append(d_p[c])
+    return np.array(out_ts), out_rgb, out_d
