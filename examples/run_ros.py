@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""ROS1 live-input nodes (the reference's Examples/ROS/ORB_SLAM3/src/:
+ros_mono.cc, ros_stereo.cc, ros_rgbd.cc, ros_mono_inertial.cc,
+ros_stereo_inertial.cc — all five sensor modes on live topics).
+
+Usage:
+  python examples/run_ros.py SETTINGS.yaml --mode mono|stereo|rgbd|mono_vi|stereo_vi \
+      [--image /cam0/image_raw] [--image-right /cam1/image_raw] \
+      [--depth /camera/depth_registered/image_raw] [--imu /imu0] [--out traj.txt]
+
+Requires rospy + cv_bridge on the PYTHONPATH (a ROS1 environment); exits
+with a clear message otherwise. The SLAM side is identical to the dataset
+drivers — topics feed track_* exactly as the reference's GrabImage callbacks
+feed System::Track* (reference ros_stereo_inertial.cc:39-59,145,196).
+"""
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from orbslam3_tpu.utils import ensure_backend
+ensure_backend()
+
+from orbslam3_tpu.utils.config import system_from_config
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("settings")
+    ap.add_argument("--mode", default="mono",
+                    choices=["mono", "stereo", "rgbd", "mono_vi", "stereo_vi"])
+    ap.add_argument("--image", default="/cam0/image_raw")
+    ap.add_argument("--image-right", default="/cam1/image_raw")
+    ap.add_argument("--depth", default="/camera/depth_registered/image_raw")
+    ap.add_argument("--imu", default="/imu0")
+    ap.add_argument("--out", default="trajectory_ros.txt")
+    args = ap.parse_args()
+
+    try:
+        import rospy
+        from cv_bridge import CvBridge
+        from sensor_msgs.msg import Image, Imu
+        import message_filters
+    except ImportError:
+        print("run_ros.py needs a ROS1 environment (rospy, cv_bridge, "
+              "sensor_msgs, message_filters on PYTHONPATH). Source your ROS "
+              "setup.bash and retry; for dataset replay without ROS use "
+              "run_euroc.py / run_tum_vi.py / run_kitti.py / run_tum_rgbd.py.",
+              file=sys.stderr)
+        return 2
+
+    slam = system_from_config(args.settings)
+    bridge = CvBridge()
+    inertial = args.mode.endswith("_vi")
+
+    def to_gray(msg):
+        img = bridge.imgmsg_to_cv2(msg, desired_encoding="mono8")
+        return img.astype(np.float32)
+
+    def on_imu(msg):
+        ts = msg.header.stamp.to_sec()
+        g = msg.angular_velocity
+        a = msg.linear_acceleration
+        slam.tracker.grab_imu(np.asarray([ts]),
+                              np.asarray([[g.x, g.y, g.z]], np.float32),
+                              np.asarray([[a.x, a.y, a.z]], np.float32))
+
+    def on_mono(msg):
+        slam.track_monocular(to_gray(msg), msg.header.stamp.to_sec())
+
+    def on_stereo(msg_l, msg_r):
+        if slam.tracker.rig is not None:
+            slam.track_stereo_fisheye(to_gray(msg_l), to_gray(msg_r),
+                                      msg_l.header.stamp.to_sec())
+        else:
+            slam.track_stereo(to_gray(msg_l), to_gray(msg_r),
+                              msg_l.header.stamp.to_sec())
+
+    def on_rgbd(msg_rgb, msg_d):
+        depth = bridge.imgmsg_to_cv2(msg_d, desired_encoding="passthrough")
+        slam.track_rgbd(to_gray(msg_rgb), np.asarray(depth, np.float32),
+                        msg_rgb.header.stamp.to_sec())
+
+    rospy.init_node("orbslam3_tpu", anonymous=True)
+    subs = []
+    if inertial:
+        subs.append(rospy.Subscriber(args.imu, Imu, on_imu, queue_size=1000))
+    if args.mode.startswith("mono"):
+        subs.append(rospy.Subscriber(args.image, Image, on_mono, queue_size=4))
+    elif args.mode.startswith("stereo"):
+        sl = message_filters.Subscriber(args.image, Image)
+        sr = message_filters.Subscriber(args.image_right, Image)
+        sync = message_filters.ApproximateTimeSynchronizer([sl, sr], 10, 0.01)
+        sync.registerCallback(on_stereo)
+        subs.append(sync)
+    else:  # rgbd
+        si = message_filters.Subscriber(args.image, Image)
+        sd = message_filters.Subscriber(args.depth, Image)
+        sync = message_filters.ApproximateTimeSynchronizer([si, sd], 10, 0.05)
+        sync.registerCallback(on_rgbd)
+        subs.append(sync)
+
+    print(f"orbslam3_tpu ROS node up ({args.mode}); ctrl-c to finish")
+    try:
+        rospy.spin()
+    except KeyboardInterrupt:
+        pass
+    slam.save_trajectory_tum(args.out)
+    print("stats:", slam.stats())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -104,6 +104,51 @@ class LoopCloser:
         return True
 
     # ------------------------------------------------------------------
+    def detect_relocalization_candidates(self, desc: np.ndarray,
+                                         valid: np.ndarray,
+                                         n_best: int = 5) -> np.ndarray:
+        """Reference KeyFrameDatabase::DetectRelocalizationCandidates
+        (src/KeyFrameDatabase.cc:107-249 scheme, used at src/Tracking.cc:4153):
+        same common-words>0.8·max + group-score>0.75·best scheme as loop
+        detection, but for a lost frame — no covisible-group or recency
+        exclusions. Returns candidate KF ids, best first."""
+        m = self.map
+        valid_ids = np.nonzero(self.bow_filled[: m.n_kf] & m.kf_valid[: m.n_kf])[0]
+        if len(valid_ids) == 0:
+            return np.zeros(0, np.int64)
+        words = self.transform(jnp.asarray(desc), jnp.asarray(valid))
+        q = self.bow(words)
+        db = jnp.asarray(self.bow_db[valid_ids])
+        scores = np.asarray(vocab_ops.l1_scores(q, db))
+        common = np.asarray(jnp.sum((db > 0) & (q > 0)[None, :], axis=-1))
+        eligible = common > 0
+        if not eligible.any():
+            return np.zeros(0, np.int64)
+        eligible &= common > 0.8 * common[eligible].max()
+        cand = valid_ids[eligible]
+        if len(cand) == 0:
+            return np.zeros(0, np.int64)
+        sc = np.zeros(m.n_kf, np.float32)
+        sc[valid_ids] = scores
+        acc = np.zeros(len(cand), np.float32)
+        leads = np.zeros(len(cand), np.int64)
+        for i, c in enumerate(cand):
+            group = [int(c)] + [int(g) for g in m.best_covisible(int(c), 10,
+                                                                 min_weight=15)]
+            gsc = [sc[g] for g in group]
+            acc[i] = float(np.sum(gsc))
+            leads[i] = group[int(np.argmax(gsc))]
+        keep = acc > 0.75 * acc.max()
+        order = np.argsort(-acc[keep])
+        out: list[int] = []
+        for lead in leads[keep][order]:
+            if lead not in out:
+                out.append(int(lead))
+            if len(out) >= n_best:
+                break
+        return np.asarray(out, np.int64)
+
+    # ------------------------------------------------------------------
     def _detect_candidates(self, kf_id: int, n_best: int = 3) -> np.ndarray:
         """Reference DetectNBestCandidates (src/KeyFrameDatabase.cc:67 +
         candidate scheme :107-249): count keyframes sharing words (excluding

@@ -19,6 +19,13 @@ from .tracking import Tracker, TrackingParams, TrackState
 
 
 class SlamSystem:
+    @staticmethod
+    def set_verbosity(level: int) -> None:
+        """Reference Verbose::SetTh (include/System.h:47-73; QUIET at startup
+        per src/System.cc:179). Levels in orbslam3_tpu.utils.verbose."""
+        from ..utils import verbose
+        verbose.set_verbosity(level)
+
     def __init__(self, K, D, wh, n_features: int = 1024,
                  tracking_params: TrackingParams | None = None,
                  map_cfg: MapConfig | None = None, seed: int = 0,
@@ -72,6 +79,10 @@ class SlamSystem:
                                           fix_scale=self._bf > 0)
             self.loop_closer.is_inertial = (
                 lambda: getattr(self.tracker, "imu_initialized", False))
+            # BoW inverted-file relocalization candidates (reference
+            # KeyFrameDatabase::DetectRelocalizationCandidates)
+            self.tracker.reloc_candidates_fn = (
+                self.loop_closer.detect_relocalization_candidates)
 
         self.mapper.on_poses_corrected = self._on_world_corrected
 

@@ -161,6 +161,9 @@ class Tracker:
         # relocalization that triggers a map merge
         self.on_tracking_lost = None
         self.try_cross_map_reloc = None
+        # optional BoW relocalization-candidate provider bound by System
+        # (reference KeyFrameDatabase::DetectRelocalizationCandidates)
+        self.reloc_candidates_fn = None
         self.consecutive_lost = 0
         self.frames_to_new_map = 20   # ≈1 s at 20 fps (reference 5 s)
         self.lost_ts: float | None = None   # ts of the OK→lost transition
@@ -1157,7 +1160,17 @@ class Tracker:
         from ..ops import matching as match_ops
         import jax.numpy as jnp
         m = in_map if in_map is not None else self.map
-        cands = m.valid_kf_ids()[::-1][:n_candidates]
+        cands = list(m.valid_kf_ids()[::-1][:n_candidates])
+        # BoW inverted-file candidates first when a database is bound
+        # (reference DetectRelocalizationCandidates, src/Tracking.cc:4163);
+        # recent KFs remain the fallback anchors
+        if self.reloc_candidates_fn is not None and in_map is None:
+            try:
+                bow_cands = self.reloc_candidates_fn(frame.desc, frame.valid)
+                cands = [int(c) for c in bow_cands] + \
+                    [c for c in cands if int(c) not in set(map(int, bow_cands))]
+            except Exception:
+                pass
         for k in cands:
             k = int(k)
             has_mp = m.kf_feat_valid[k] & (m.kf_feat_mp[k] >= 0)

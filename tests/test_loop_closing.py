@@ -116,3 +116,16 @@ def test_loop_detected_and_corrected(drifted_map):
     # global BA — reference runs GBA after CorrectLoop, a later-round item)
     assert errs[-1] < 0.2, errs
     assert max(errs) < 0.45, errs  # < the 0.47 uncorrected end-drift
+
+
+def test_relocalization_candidates(drifted_map):
+    m, _, _, n_kf = drifted_map
+    lc = LoopCloser(m, K_CAM, WH, min_kfs=4, exclude_recent=4)
+    for k in range(n_kf):
+        lc.process_keyframe(k)
+    # query with KF 2's own descriptors: KF 2 (or a close covisible) must
+    # lead the candidate list (reference DetectRelocalizationCandidates)
+    cands = lc.detect_relocalization_candidates(
+        m.kf_feat_desc[2], m.kf_feat_valid[2])
+    assert len(cands) > 0
+    assert any(abs(int(c) - 2) <= 2 for c in cands[:3]), cands

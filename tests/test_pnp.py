@@ -29,6 +29,42 @@ def test_pnp_ransac_recovers_pose_with_outliers():
     assert np.asarray(res.inliers)[out].mean() < 0.2
 
 
+def test_epnp_recovers_pose():
+    rng = np.random.default_rng(2)
+    n = 80
+    xw = np.stack([rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+                   rng.uniform(5, 15, n)], -1).astype(np.float32)
+    R = np.asarray(lie.so3_exp(jnp.asarray([-0.2, 0.4, 0.1], jnp.float32)))
+    t = np.array([-0.4, 0.2, 0.8], np.float32)
+    xc = xw @ R.T + t
+    xn = (xc[:, :2] / xc[:, 2:3]).astype(np.float32)
+    Re, te = pnp.epnp(jnp.asarray(xw)[None], jnp.asarray(xn)[None])
+    assert np.abs(np.asarray(Re[0]) - R).max() < 1e-3
+    assert np.abs(np.asarray(te[0]) - t).max() < 5e-3
+
+
+def test_epnp_ransac_with_outliers():
+    rng = np.random.default_rng(3)
+    n = 100
+    xw = np.stack([rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+                   rng.uniform(4, 12, n)], -1).astype(np.float32)
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.1, 0.3, -0.2], jnp.float32)))
+    t = np.array([0.2, -0.1, 0.5], np.float32)
+    xc = xw @ R.T + t
+    rays = (xc / xc[:, 2:3]).astype(np.float32)
+    rays[:, :2] += rng.normal(0, 0.5 / 458.0, (n, 2))
+    out = rng.choice(n, n // 5, replace=False)
+    rays[out, :2] += rng.uniform(0.05, 0.2, (len(out), 2))
+    rand = rng.integers(0, n, (256, 5)).astype(np.int32)
+    res = pnp.epnp_ransac(jnp.asarray(xw), jnp.asarray(rays),
+                          jnp.ones(n, bool), jnp.asarray(rand),
+                          jnp.ones(n, jnp.float32))
+    assert bool(res.success)
+    assert np.abs(np.asarray(res.R) - R).max() < 0.02
+    assert np.abs(np.asarray(res.t) - t).max() < 0.15
+    assert np.asarray(res.inliers)[out].mean() < 0.2
+
+
 def test_pnp_fails_on_garbage():
     rng = np.random.default_rng(1)
     n = 60
