@@ -51,6 +51,9 @@ def main():
               file=sys.stderr)
         return 2
 
+    import threading
+    from collections import deque
+
     slam = system_from_config(args.settings)
     bridge = CvBridge()
     inertial = args.mode.endswith("_vi")
@@ -59,34 +62,87 @@ def main():
         img = bridge.imgmsg_to_cv2(msg, desired_encoding="mono8")
         return img.astype(np.float32)
 
+    # Inertial modes mirror the reference's ImageGrabber/ImuGrabber +
+    # SyncWithImu pattern (reference ros_mono_inertial.cc): callbacks only
+    # BUFFER under locks; one sync thread tracks an image after the newest
+    # buffered IMU timestamp has passed it, feeding the tracker's IMU queue
+    # from that single thread (grab_imu / _preintegrate_frame are not
+    # concurrent-safe against rospy's callback threads).
+    imu_lock = threading.Lock()
+    imu_buf: deque = deque()
+    img_lock = threading.Lock()
+    img_buf: deque = deque(maxlen=8)
+    finish = threading.Event()
+
     def on_imu(msg):
-        ts = msg.header.stamp.to_sec()
         g = msg.angular_velocity
         a = msg.linear_acceleration
-        slam.tracker.grab_imu(np.asarray([ts]),
-                              np.asarray([[g.x, g.y, g.z]], np.float32),
-                              np.asarray([[a.x, a.y, a.z]], np.float32))
+        with imu_lock:
+            imu_buf.append((msg.header.stamp.to_sec(),
+                            np.asarray([g.x, g.y, g.z], np.float32),
+                            np.asarray([a.x, a.y, a.z], np.float32)))
+
+    def track(kind, payload, ts):
+        if kind == "mono":
+            slam.track_monocular(payload[0], ts)
+        elif kind == "stereo":
+            if slam.tracker.rig is not None:
+                slam.track_stereo_fisheye(payload[0], payload[1], ts)
+            else:
+                slam.track_stereo(payload[0], payload[1], ts)
+        else:
+            slam.track_rgbd(payload[0], payload[1], ts)
+
+    def sync_loop():
+        import time
+        while not finish.is_set():
+            item = None
+            with img_lock:
+                if img_buf:
+                    ts = img_buf[0][2]
+                    with imu_lock:
+                        imu_ready = bool(imu_buf) and imu_buf[-1][0] >= ts
+                    if imu_ready:
+                        item = img_buf.popleft()
+            if item is None:
+                time.sleep(0.002)
+                continue
+            kind, payload, ts = item
+            with imu_lock:
+                take = []
+                while imu_buf and imu_buf[0][0] <= ts + 1e-6:
+                    take.append(imu_buf.popleft())
+            for (t_i, g_i, a_i) in take:
+                slam.tracker.grab_imu(np.asarray([t_i]), g_i[None], a_i[None])
+            track(kind, payload, ts)
+
+    def dispatch(kind, payload, ts):
+        if inertial:
+            with img_lock:
+                img_buf.append((kind, payload, ts))
+        else:
+            track(kind, payload, ts)
 
     def on_mono(msg):
-        slam.track_monocular(to_gray(msg), msg.header.stamp.to_sec())
+        dispatch("mono", (to_gray(msg),), msg.header.stamp.to_sec())
 
     def on_stereo(msg_l, msg_r):
-        if slam.tracker.rig is not None:
-            slam.track_stereo_fisheye(to_gray(msg_l), to_gray(msg_r),
-                                      msg_l.header.stamp.to_sec())
-        else:
-            slam.track_stereo(to_gray(msg_l), to_gray(msg_r),
-                              msg_l.header.stamp.to_sec())
+        dispatch("stereo", (to_gray(msg_l), to_gray(msg_r)),
+                 msg_l.header.stamp.to_sec())
 
     def on_rgbd(msg_rgb, msg_d):
         depth = bridge.imgmsg_to_cv2(msg_d, desired_encoding="passthrough")
-        slam.track_rgbd(to_gray(msg_rgb), np.asarray(depth, np.float32),
-                        msg_rgb.header.stamp.to_sec())
+        dispatch("rgbd", (to_gray(msg_rgb), np.asarray(depth, np.float32)),
+                 msg_rgb.header.stamp.to_sec())
 
     rospy.init_node("orbslam3_tpu", anonymous=True)
     subs = []
+    sync_thread = None
     if inertial:
         subs.append(rospy.Subscriber(args.imu, Imu, on_imu, queue_size=1000))
+        sync_thread = threading.Thread(target=sync_loop, name="sync-with-imu",
+                                       daemon=True)
+        sync_thread.start()
     if args.mode.startswith("mono"):
         subs.append(rospy.Subscriber(args.image, Image, on_mono, queue_size=4))
     elif args.mode.startswith("stereo"):
@@ -107,6 +163,9 @@ def main():
         rospy.spin()
     except KeyboardInterrupt:
         pass
+    finish.set()
+    if sync_thread is not None:
+        sync_thread.join(5.0)
     slam.save_trajectory_tum(args.out)
     print("stats:", slam.stats())
     return 0

@@ -55,6 +55,15 @@ def main():
     slam = system_from_config(args.settings)
     stereo = args.mode.startswith("stereo")
     fisheye_rig = stereo and slam.tracker.rig is not None
+    if stereo and not fisheye_rig and getattr(slam.tracker, "cam_type", 0) == 1:
+        # TUM-VI cameras are 512x512 Kannala-Brandt fisheyes: pinhole-stereo
+        # row matching on raw fisheye images is geometrically wrong (the
+        # reference builds the two-camera KB8 rig from Camera2.*+Tlr,
+        # src/Tracking.cc two-camera branch) — refuse rather than emit garbage
+        raise SystemExit(
+            "stereo mode requested but the settings YAML has no two-camera "
+            "rig (Camera2.* + Tlr): refusing to run pinhole stereo on raw "
+            "fisheye images. Add the rig to the YAML or use --mode mono/mono_vi.")
     t_start = time.perf_counter()
     n_done = 0
     gt_ts, gt_xyz = [], []

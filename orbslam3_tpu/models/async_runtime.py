@@ -100,6 +100,21 @@ class AsyncRuntime:
         src/Tracking.cc:3626, and SetAcceptKeyFrames while busy)."""
         return len(self.kf_queue) < 3 and not self._stop_requested.is_set()
 
+    def on_map_remap(self, m, kf_remap):
+        """Map pools compacted (MapState.compact, mapper thread, under the map
+        lock): rewrite queued keyframe ids for that map; drop culled ones."""
+        for q in (self.kf_queue, self.loop_queue):
+            with q._cv:
+                items = list(q._q)
+                q._q.clear()
+                for item in items:
+                    if item[0] is m:
+                        nid = int(kf_remap[item[1]])
+                        if nid < 0:
+                            continue
+                        item = (m, nid) + tuple(item[2:])
+                    q._q.append(item)
+
     def abort_requested(self) -> bool:
         """Local BA aborts when newer keyframes are waiting (reference
         mbAbortBA, src/LocalMapping.cc:184)."""
@@ -155,7 +170,7 @@ class AsyncRuntime:
             if m is not sysm.map:       # stale entry from a replaced map
                 continue
             try:
-                sysm.mapper.process_keyframe(
+                kf_id = sysm.mapper.process_keyframe(
                     kf_id, initial=initial,
                     abort_check=self.abort_requested)
                 if not initial:

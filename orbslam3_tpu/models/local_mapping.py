@@ -51,16 +51,34 @@ class LocalMapper:
         self._vi_jit = {}
         # two-camera rig (dict with cam_r/R_rl/t_rl) — adds ToBody residuals
         self.rig = None
+        map_state.on_remap["mapper"] = self._on_map_remap
+
+    def _on_map_remap(self, kf_remap: np.ndarray, mp_remap: np.ndarray):
+        """Map pools compacted/grown: remap held ids (under the map lock)."""
+        out = []
+        for created_kf, ids in self.recent_mp:
+            ids = mp_remap[ids]
+            ids = ids[ids >= 0]
+            ck = int(kf_remap[created_kf])
+            if ck < 0:
+                # creator culled: its compacted position preserves the age
+                ck = int(np.searchsorted(np.nonzero(kf_remap >= 0)[0],
+                                         created_kf))
+            if len(ids):
+                out.append((ck, ids.astype(np.int32)))
+        self.recent_mp = out
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, initial: bool = False,
-                         abort_check=None):
+                         abort_check=None) -> int:
         """One mapper round (reference LocalMapping::Run body,
         src/LocalMapping.cc:77-339). ``abort_check`` implements the
         reference's run-BA-only-when-idle rule (:153: LBA runs only if the
-        keyframe queue is empty and no stop was requested)."""
+        keyframe queue is empty and no stop was requested). Returns the
+        keyframe's id, remapped if the mapper compacted the pools."""
         m = self.map
         with m.lock:
+            kf_id = m.maybe_compact(kf_id)
             m.refresh_map_points(
                 np.unique(m.kf_feat_mp[kf_id][m.kf_feat_mp[kf_id] >= 0]))
             if initial:
@@ -68,7 +86,7 @@ class LocalMapper:
                 # CreateInitialMapMonocular runs GlobalBundleAdjustemnt(20))
                 self.local_ba(kf_id, iters=(10, 20))
                 self._renormalize_initial_scale(kf_id)
-                return
+                return kf_id
             self.cull_map_points(kf_id)
             self.create_new_map_points(kf_id)
             self.search_in_neighbors(kf_id)
@@ -84,6 +102,7 @@ class LocalMapper:
         if self.inertial is not None and self.inertial.imu_enabled:
             with m.lock:
                 self._inertial_stage(kf_id)
+        return kf_id
 
     def _renormalize_initial_scale(self, kf_id: int):
         """After init BA, re-fix median depth to 1 (the BA may drift the gauge
@@ -279,14 +298,19 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def cull_keyframes(self, kf_id: int, redundancy: float = 0.9,
-                       max_cull_per_run: int = 2):
+                       max_cull_per_run: int = 20):
         """Redundant-keyframe culling (reference KeyFrameCulling
-        src/LocalMapping.cc:1218: a covisible KF whose ≥90% of map points are
-        observed by ≥3 other keyframes is removed; first two keyframes always
-        kept). Inertial maps follow the reference's temporal-chain protections
-        (:1296-1390): culling must not open a gap > 0.5 s (3 s once VIBA2 has
-        run), and the culled keyframe's preintegration merges into its
-        successor's (IMU::Preintegrated::MergePrevious)."""
+        src/LocalMapping.cc:1218: a covisible KF ≥90% of whose ≥3-observer map
+        points are observed by ≥3 other keyframes at the same or finer scale
+        is removed; first two keyframes always kept). The redundancy counts
+        run in one native C++ kernel over ALL covisible candidates — the
+        reference iterates its full vpLocalKeyFrames list too; the old top-20/
+        2-per-round cap could not keep up with the insertion cadence. Inertial
+        maps follow the reference's temporal-chain protections (:1296-1390):
+        culling must not open a gap > 0.5 s (3 s once VIBA2 has run), and the
+        culled keyframe's preintegration merges into its successor's
+        (IMU::Preintegrated::MergePrevious)."""
+        from .. import native
         m = self.map
         tr = self.inertial
         inertial = (tr is not None and tr.imu_enabled
@@ -296,49 +320,83 @@ class LocalMapper:
         # init needs the dense temporal chain
         if inertial and len(m.valid_kf_ids()) <= 21:
             return
-        candidates = [int(k) for k in m.best_covisible(kf_id, 20, min_weight=15)]
-        obs = m.obs_count()
+        th_depth = float(getattr(tr, "th_depth", 0.0) or 0.0) if self.bf > 0 else 0.0
+
+        def redundancy_counts(cands):
+            red_tot = native.kf_redundancy(
+                m.kf_feat_mp[: m.n_kf], m.kf_valid[: m.n_kf],
+                m.kf_feat_octave[: m.n_kf], m.kf_feat_depth[: m.n_kf],
+                th_depth, cands, m.cfg.max_map_points)
+            if red_tot is not None:
+                return red_tot
+            # numpy fallback: scale-unaware approximation (obs ≥ 4)
+            obs = m.obs_count()
+            red = np.zeros(len(cands), np.int32)
+            tot = np.zeros(len(cands), np.int32)
+            for i, k in enumerate(cands):
+                row = m.kf_feat_mp[k]
+                mps = row[row >= 0]
+                mps = mps[m.mp_valid[mps] & (obs[mps] > 3)]
+                tot[i] = len(mps)
+                red[i] = int((obs[mps] >= 4).sum())
+            return red, tot
+
         n_culled = 0
-        for k in candidates:
-            if k <= 1 or k == kf_id or not m.kf_valid[k]:
-                continue
-            row = m.kf_feat_mp[k]
-            mps = row[row >= 0]
-            mps = mps[m.mp_valid[mps]]
-            if len(mps) < 20:
-                continue
-            redundant = (obs[mps] >= 4).mean()   # self + ≥3 others
-            if redundant <= redundancy:
-                continue
-            if inertial:
-                valid = m.valid_kf_ids()
-                pos = np.searchsorted(valid, k)
-                if pos == 0 or pos >= len(valid) - 1:
-                    continue
-                # never break the head of the temporal chain (reference
-                # pKF->mnId > mnId-2 guard, src/LocalMapping.cc:1362)
-                if pos >= len(valid) - 3:
-                    continue
-                prev_k = int(valid[pos - 1])
-                next_k = int(valid[pos + 1])
-                gap = float(m.kf_ts[next_k] - m.kf_ts[prev_k])
-                limit = 3.0 if tr.viba2_done else 0.5
-                if gap > limit:
-                    continue
-                # merge the preintegration chain across the culled keyframe
-                pk = tr.kf_preints.get(k)
-                pn = tr.kf_preints.get(next_k)
-                if pk is not None and pn is not None:
-                    from ..ops import imu as imu_ops
-                    tr.kf_preints[next_k] = imu_ops.compose(pk, pn)
-                tr.kf_preints.pop(k, None)
-            if tr is not None:
-                tr.reanchor_trajectory(k)
-            m.remove_keyframe(k)
-            self.stats["culled_kf"] = self.stats.get("culled_kf", 0) + 1
-            n_culled += 1
-            if n_culled >= max_cull_per_run:
-                break
+        # cull worst-first, recomputing after each removal (a removal lowers
+        # its neighbors' redundancy — precomputed counts would over-cull
+        # mutually-supported pairs; the counting kernel is cheap enough)
+        while n_culled < max_cull_per_run:
+            candidates = np.asarray(
+                [int(k) for k in m.best_covisible(kf_id, m.n_kf, min_weight=15)
+                 if k > 1 and k != kf_id and m.kf_valid[k]], np.int32)
+            if len(candidates) == 0:
+                return
+            red, tot = redundancy_counts(candidates)
+            frac = red / np.maximum(tot, 1)
+            frac[tot < 20] = 0.0
+            order = np.argsort(-frac)
+            culled_this_round = False
+            for i in order:
+                k = int(candidates[i])
+                if tot[i] < 20 or red[i] <= redundancy * tot[i]:
+                    break   # sorted: nothing further qualifies
+                if self._cull_one_keyframe(k, inertial, tr):
+                    n_culled += 1
+                    culled_this_round = True
+                    break
+            if not culled_this_round:
+                return
+
+    def _cull_one_keyframe(self, k: int, inertial: bool, tr) -> bool:
+        """Apply the temporal-chain guards and remove keyframe ``k``."""
+        m = self.map
+        if inertial:
+            valid = m.valid_kf_ids()
+            pos = np.searchsorted(valid, k)
+            if pos == 0 or pos >= len(valid) - 1:
+                return False
+            # never break the head of the temporal chain (reference
+            # pKF->mnId > mnId-2 guard, src/LocalMapping.cc:1362)
+            if pos >= len(valid) - 3:
+                return False
+            prev_k = int(valid[pos - 1])
+            next_k = int(valid[pos + 1])
+            gap = float(m.kf_ts[next_k] - m.kf_ts[prev_k])
+            limit = 3.0 if tr.viba2_done else 0.5
+            if gap > limit:
+                return False
+            # merge the preintegration chain across the culled keyframe
+            pk = tr.kf_preints.get(k)
+            pn = tr.kf_preints.get(next_k)
+            if pk is not None and pn is not None:
+                from ..ops import imu as imu_ops
+                tr.kf_preints[next_k] = imu_ops.compose(pk, pn)
+            tr.kf_preints.pop(k, None)
+        if tr is not None:
+            tr.reanchor_trajectory(k)
+        m.remove_keyframe(k)
+        self.stats["culled_kf"] = self.stats.get("culled_kf", 0) + 1
+        return True
 
     # ------------------------------------------------------------------
     def local_ba(self, kf_id: int, iters: tuple[int, int] = (5, 10),
@@ -491,6 +549,7 @@ class LocalMapper:
             kfs = [int(k) for k in m.valid_kf_ids()]
             if len(kfs) < 3:
                 return False
+            snap_epoch = m.remap_epoch
             snap_n_kf = m.n_kf
             snap_n_mp = m.n_mp
             old_R = m.kf_R.copy()
@@ -567,6 +626,10 @@ class LocalMapper:
             done += 2
 
         with m.lock:
+            if m.remap_epoch != snap_epoch:
+                # pools were compacted while the solve ran: the gathered ids
+                # are stale — drop the result (a later GBA redoes the work)
+                return False
             Rn = np.asarray(res.R)[: len(kfs)]
             tn = np.asarray(res.t)[: len(kfs)]
             for i, k in enumerate(kfs):

@@ -59,6 +59,28 @@ class LoopCloser:
         # (gravity-aligned, metric) map corrects with the 4DoF essential graph
         # (reference OptimizeEssentialGraph4DoF, src/LoopClosing.cc:1524-1533)
         self.is_inertial = lambda: False
+        map_state.on_remap["loop_closer"] = self._on_map_remap
+
+    def _on_map_remap(self, kf_remap: np.ndarray, mp_remap: np.ndarray):
+        """Map pools compacted/grown: reorder the BoW database rows and remap
+        held keyframe ids (under the map lock)."""
+        new_cap = self.map.cfg.max_keyframes
+        new_db = np.zeros((new_cap, self.vocab.n_words), np.float32)
+        new_filled = np.zeros(new_cap, bool)
+        old = np.nonzero(self.bow_filled)[0]
+        old = old[old < len(kf_remap)]
+        tgt = kf_remap[old]
+        keep = tgt >= 0
+        new_db[tgt[keep]] = self.bow_db[old[keep]]
+        new_filled[tgt[keep]] = True
+        self.bow_db = new_db
+        self.bow_filled = new_filled
+        if self.last_loop_kf >= 0:
+            r = int(kf_remap[self.last_loop_kf])
+            if r < 0:   # culled: nearest surviving position keeps the recency gate
+                r = int(np.searchsorted(np.nonzero(kf_remap >= 0)[0],
+                                        self.last_loop_kf)) - 1
+            self.last_loop_kf = r
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, pre_correct=None,
@@ -70,6 +92,9 @@ class LoopCloser:
         and to release the mapper afterwards."""
         m = self.map
         with m.lock:
+            snap_epoch = m.remap_epoch
+            if not m.kf_valid[kf_id]:
+                return False
             words = self.transform(jnp.asarray(m.kf_feat_desc[kf_id]),
                                    jnp.asarray(m.kf_feat_valid[kf_id]))
             self.bow_db[kf_id] = np.asarray(self.bow(words))
@@ -95,6 +120,10 @@ class LoopCloser:
             pre_correct()   # outside the map lock (the mapper may hold it)
         try:
             with m.lock:
+                if m.remap_epoch != snap_epoch:
+                    # pools compacted between detection and correction: the
+                    # candidate ids are stale — drop (re-detected next KF)
+                    return False
                 self._correct_loop(kf_id, hit[0], hit[1])
             self.stats["loops_corrected"] += 1
             self.last_loop_kf = kf_id

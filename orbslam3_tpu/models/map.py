@@ -17,13 +17,18 @@ include/Map.h) with flat arrays sized at construction:
   matmul on the MXU for bulk queries. No mutexes: the SLAM driver mutates the
   pools single-threaded on host; device kernels see read-only snapshots.
 
-Capacities are framework config; slots are append-only with validity masks
-(culling clears masks; slot reuse is deliberately avoided so ids stay stable).
+Capacities are framework config; slots are append-only with validity masks.
+Culling clears masks; freed slots are reclaimed by **compaction** (``compact``:
+an order-preserving remap of both pools announced to registered consumers via
+``on_remap`` callbacks) and the pools **grow** when compaction cannot free
+enough — so, like the reference (whose SetBadFlag/culling actually frees
+memory, reference src/KeyFrame.cc:746, src/LocalMapping.cc:430), the map
+survives unbounded-length sequences in bounded memory.
 """
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dc_replace
 
 import numpy as np
 
@@ -111,20 +116,148 @@ class MapState:
         self.mp_found = np.zeros(P, np.int32)
         self.n_mp = 0
 
+        # compaction/growth protocol: consumers holding kf/mp ids register a
+        # callback under a stable key (tracker, mapper, loop closer, runtime);
+        # compact() calls each with (kf_remap, mp_remap) LUTs (old id → new id,
+        # -1 = slot was culled) AFTER the pools have been rewritten, all under
+        # the map lock. ``remap_epoch`` lets cross-thread consumers detect a
+        # remap between their lock windows and drop stale-id work.
+        self.on_remap: dict[str, object] = {}
+        self.remap_epoch = 0
+        self.n_compactions = 0
+        self.n_grows = 0
+
         # scale pyramid constants
         s = np.array([cfg.scale ** i for i in range(cfg.n_levels)], np.float32)
         self.level_sigma2 = s * s
         self.inv_level_sigma2 = 1.0 / (s * s)
         self.scale_factors = s
 
+    _KF_ARRAYS = ("kf_valid", "kf_R", "kf_t", "kf_ts", "kf_frame_id",
+                  "kf_feat_xy", "kf_feat_angle", "kf_feat_octave",
+                  "kf_feat_desc", "kf_feat_valid", "kf_feat_mp", "kf_feat_ur",
+                  "kf_feat_depth", "kf_feat_uvr", "kf_vel", "kf_bias_g",
+                  "kf_bias_a")
+    _MP_ARRAYS = ("mp_valid", "mp_xyz", "mp_desc", "mp_normal", "mp_min_dist",
+                  "mp_max_dist", "mp_ref_kf", "mp_first_kf", "mp_visible",
+                  "mp_found")
+
+    # ------------------------------------------------------------------
+    # pool lifecycle: compaction + growth (bounded-memory long runs)
+    # ------------------------------------------------------------------
+    def compact(self):
+        """Reclaim culled slots: rewrite both pools in creation order (so every
+        ordering invariant — temporal KF order, recency-by-id — survives),
+        remap all internal id references, and notify registered consumers.
+        MUST be called under ``self.lock`` and only from the thread that owns
+        map mutation for in-flight ids (the mapper); cross-thread consumers
+        detect the remap via ``remap_epoch``. Returns (kf_remap, mp_remap)."""
+        K_cap, P_cap = self.cfg.max_keyframes, self.cfg.max_map_points
+        old_n_kf, old_n_mp = self.n_kf, self.n_mp
+        kf_keep = np.nonzero(self.kf_valid[:old_n_kf])[0]
+        mp_keep = np.nonzero(self.mp_valid[:old_n_mp])[0]
+        kf_remap = np.full(K_cap, -1, np.int32)
+        kf_remap[kf_keep] = np.arange(len(kf_keep), dtype=np.int32)
+        mp_remap = np.full(P_cap, -1, np.int32)
+        mp_remap[mp_keep] = np.arange(len(mp_keep), dtype=np.int32)
+        nk, npt = len(kf_keep), len(mp_keep)
+
+        for name in self._KF_ARRAYS:
+            a = getattr(self, name)
+            a[:nk] = a[kf_keep]
+        self.kf_valid[nk:old_n_kf] = False
+        self.kf_feat_mp[nk:old_n_kf] = -1
+        self.kf_feat_valid[nk:old_n_kf] = False
+        for name in self._MP_ARRAYS:
+            a = getattr(self, name)
+            a[:npt] = a[mp_keep]
+        self.mp_valid[npt:old_n_mp] = False
+        self.n_kf, self.n_mp = nk, npt
+
+        # remap value references: feature→point assignments (mp ids) ...
+        fm = self.kf_feat_mp[:nk]
+        pos = fm >= 0
+        fm[pos] = mp_remap[fm[pos]]
+        # ... and point→keyframe anchors (kf ids); a dangling anchor (its KF
+        # culled after remove_keyframe reassignment raced nothing — defensive)
+        # re-anchors to the nearest surviving KF by original id order
+        for name in ("mp_ref_kf", "mp_first_kf"):
+            a = getattr(self, name)[:npt]
+            ok = a >= 0
+            new = np.where(ok, kf_remap[np.clip(a, 0, K_cap - 1)], -1)
+            dang = ok & (new < 0)
+            if dang.any() and nk:
+                near = np.searchsorted(kf_keep, a[dang])
+                new[dang] = np.clip(near, 0, nk - 1)
+            a[:] = new
+
+        self.remap_epoch += 1
+        self.n_compactions += 1
+        for cb in list(self.on_remap.values()):
+            cb(kf_remap, mp_remap)
+        return kf_remap, mp_remap
+
+    def grow(self, grow_kf: bool = True, grow_mp: bool = True):
+        """Double pool capacities (id-preserving). The backstop when culling +
+        compaction cannot keep up; keeps long runs alive at the cost of larger
+        host arrays (device kernels bucket independently, so no recompiles)."""
+        K_cap, P_cap = self.cfg.max_keyframes, self.cfg.max_map_points
+        newK = K_cap * 2 if grow_kf else K_cap
+        newP = P_cap * 2 if grow_mp else P_cap
+        if grow_kf:
+            for name in self._KF_ARRAYS:
+                a = getattr(self, name)
+                fill = (-1 if name == "kf_feat_mp"
+                        else (-1.0 if name in ("kf_feat_ur", "kf_feat_depth",
+                                               "kf_feat_uvr") else 0))
+                b = np.full((newK,) + a.shape[1:], fill, a.dtype)
+                b[:K_cap] = a
+                setattr(self, name, b)
+        if grow_mp:
+            for name in self._MP_ARRAYS:
+                a = getattr(self, name)
+                fill = -1 if name in ("mp_ref_kf", "mp_first_kf") else 0
+                b = np.full((newP,) + a.shape[1:], fill, a.dtype)
+                b[:P_cap] = a
+                setattr(self, name, b)
+        self.cfg = dc_replace(self.cfg, max_keyframes=newK, max_map_points=newP)
+        self.n_grows += 1
+        # growth preserves ids; announce with identity LUTs so capacity-sized
+        # consumer state (e.g. the BoW database) resizes
+        kf_id = np.arange(newK, dtype=np.int32)
+        mp_id = np.arange(newP, dtype=np.int32)
+        self.remap_epoch += 1
+        for cb in list(self.on_remap.values()):
+            cb(kf_id, mp_id)
+
+    def maybe_compact(self, kf_id: int = -1, frac: float = 0.85) -> int:
+        """Compact when either pool is nearly full; grow if compaction left it
+        still nearly full (culling not keeping up). Under ``self.lock``; call
+        from the mapper with its in-flight keyframe id — the remapped id is
+        returned."""
+        need_kf = self.n_kf > frac * self.cfg.max_keyframes
+        need_mp = self.n_mp > frac * self.cfg.max_map_points
+        if not (need_kf or need_mp):
+            return kf_id
+        kf_remap, _ = self.compact()
+        if kf_id >= 0:
+            kf_id = int(kf_remap[kf_id])
+        if (self.n_kf > frac * self.cfg.max_keyframes
+                or self.n_mp > frac * self.cfg.max_map_points):
+            self.grow(grow_kf=self.n_kf > frac * self.cfg.max_keyframes,
+                      grow_mp=self.n_mp > frac * self.cfg.max_map_points)
+        return kf_id
+
     # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
     def add_keyframe(self, R, t, ts, frame_id, xy, angle, octave, desc, fvalid,
                      feat_mp=None, ur=None, depth=None, uvr=None) -> int:
+        if self.n_kf >= self.cfg.max_keyframes:
+            # id-preserving growth (compaction is the mapper's job; growing
+            # here keeps the tracker's add path safe from any thread)
+            self.grow(grow_kf=True, grow_mp=False)
         k = self.n_kf
-        if k >= self.cfg.max_keyframes:
-            raise RuntimeError("keyframe pool exhausted")
         self.kf_valid[k] = True
         self.kf_R[k] = R
         self.kf_t[k] = t
@@ -155,6 +288,16 @@ class MapState:
         mps = self.kf_feat_mp[k]
         obs = mps[mps >= 0]
         self.kf_feat_mp[k] = -1
+        # points anchored to the culled KF re-anchor to the nearest surviving
+        # KF (reference reassigns mpRefKF to the first remaining observer)
+        dang = np.nonzero(self.mp_valid[: self.n_mp]
+                          & (self.mp_ref_kf[: self.n_mp] == k))[0]
+        if len(dang):
+            valid = self.valid_kf_ids()
+            if len(valid):
+                near = int(valid[np.argmin(np.abs(
+                    self.kf_ts[valid] - self.kf_ts[k]))])
+                self.mp_ref_kf[dang] = near
         # refresh descriptors/normals of affected points
         if len(obs):
             self.refresh_map_points(np.unique(obs))
@@ -165,9 +308,9 @@ class MapState:
     def add_map_points(self, xyz, desc, ref_kf: int, normals, min_dist, max_dist,
                        first_kf: int | None = None) -> np.ndarray:
         m = xyz.shape[0]
+        while self.n_mp + m > self.cfg.max_map_points:
+            self.grow(grow_kf=False, grow_mp=True)
         p0 = self.n_mp
-        if p0 + m > self.cfg.max_map_points:
-            raise RuntimeError("map-point pool exhausted")
         ids = np.arange(p0, p0 + m, dtype=np.int32)
         self.mp_valid[ids] = True
         self.mp_xyz[ids] = xyz
@@ -243,7 +386,22 @@ class MapState:
 
     def refresh_map_points(self, mp_ids: np.ndarray):
         """Recompute distinctive descriptor, normal and scale-invariance range
-        (reference MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth)."""
+        (reference MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth).
+        Native C++ kernel (orbslam3_tpu.native.refresh_points) — this is the
+        mapper's host-hot path; numpy fallback below."""
+        from .. import native
+        mp_ids = np.asarray(mp_ids, np.int64)
+        if len(mp_ids) == 0:
+            return
+        alive = native.refresh_points(
+            self.kf_feat_mp[: self.n_kf], self.kf_valid[: self.n_kf],
+            self.kf_feat_desc[: self.n_kf], self.kf_feat_octave[: self.n_kf],
+            self.kf_R[: self.n_kf], self.kf_t[: self.n_kf],
+            mp_ids, self.mp_xyz, self.scale_factors,
+            self.mp_desc, self.mp_normal, self.mp_min_dist, self.mp_max_dist)
+        if alive is not None:
+            self.mp_valid[mp_ids[~alive]] = False
+            return
         kf_idx, feat_idx = self.observations_of(mp_ids)
         if len(kf_idx) == 0:
             self.mp_valid[mp_ids[self.obs_count(mp_ids) == 0]] = False
@@ -262,8 +420,10 @@ class MapState:
             d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)  # (k,k) Hamming
             best = np.argmin(np.median(d, axis=1))
             self.mp_desc[mp] = descs[best]
-            # normal = mean of viewing directions; scale range from ref obs
-            centers = -np.einsum("kij,ki->kj", self.kf_R[ks].transpose(0, 2, 1), self.kf_t[ks])
+            # normal = mean of viewing directions; scale range from ref obs.
+            # center c = -R^T t (this fallback shipped round 1 computing -R t —
+            # wrong normals/scale ranges; caught by the native-parity probe)
+            centers = -np.einsum("kji,kj->ki", self.kf_R[ks], self.kf_t[ks])
             dirs = self.mp_xyz[mp] - centers
             nrm = np.linalg.norm(dirs, axis=1, keepdims=True)
             dirs = dirs / np.maximum(nrm, 1e-9)

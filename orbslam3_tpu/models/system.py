@@ -85,6 +85,10 @@ class SlamSystem:
                 self.loop_closer.detect_relocalization_candidates)
 
         self.mapper.on_poses_corrected = self._on_world_corrected
+        if self.runtime is not None:
+            m.on_remap["runtime"] = (
+                lambda kf_remap, mp_remap, _m=m:
+                    self.runtime.on_map_remap(_m, kf_remap))
 
         def on_kf(kf_id, initial=False):
             if self.runtime is not None and not initial:
@@ -136,6 +140,9 @@ class SlamSystem:
         """Sustained loss: spawn a fresh sub-map (reference CreateMapInAtlas)
         unless the current map is too small to keep (reference resets it)."""
         cur = self.atlas.current
+        # entries referencing the stored/wiped map can no longer follow its
+        # keyframes — freeze them as absolute poses (lost if the map is wiped)
+        self.tracker.freeze_trajectory(mark_lost=cur.n_kf < 10)
         if cur.n_kf >= 10:
             new_map = self.atlas.create_new_map()
         else:
@@ -176,6 +183,7 @@ class SlamSystem:
                                                   t_a.astype(np.float32),
                                                   s_align=float(s))
                     kf_map = self.atlas.last_merge_kf_map
+                    self.tracker.remap_trajectory_for_merge(kf_map)
                     self._bind_map(self.atlas.current)
                     self.tracker.map = self.atlas.current
                     # remap the live frame pose into the merged world
@@ -232,7 +240,9 @@ class SlamSystem:
                     t_a = frame.R.T @ (t_cur - frame.t)
                     self.atlas.merge_current_into(old, R_a.astype(np.float32),
                                                   t_a.astype(np.float32))
+                    tr.remap_trajectory_for_merge(self.atlas.last_merge_kf_map)
                 else:
+                    tr.freeze_trajectory()
                     self.atlas.current_idx = self.atlas.maps.index(old)
                 self._bind_map(self.atlas.current)
                 tr.map = self.atlas.current
@@ -359,6 +369,7 @@ class SlamSystem:
         Tracking::ResetActiveMap, src/System.cc:416)."""
         from .map import MapState
         self.wait_idle()
+        self.tracker.freeze_trajectory(mark_lost=True)
         cur = self.atlas.current
         idx = self.atlas.current_idx
         self.atlas.maps[idx] = MapState(self.map_cfg, map_id=cur.map_id)

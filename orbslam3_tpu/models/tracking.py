@@ -59,11 +59,17 @@ class TrackingParams:
     min_motion_inliers: int = 10
     min_local_inliers: int = 30
     min_init_matches: int = 100
-    # keyframe policy (mono drifts with sparse keyframes; 5 ≈ the effective
-    # insertion rate the reference reaches through its c1b/c2 conditions)
-    max_frames_between_kf: int = 5
+    # keyframe policy (reference NeedNewKeyFrame src/Tracking.cc:3468-3643:
+    # mMinFrames=0, mMaxFrames=fps — set max_frames_between_kf to the camera
+    # rate; the c1b/c2 conditions drive the actual insertion density)
+    max_frames_between_kf: int = 20     # = fps (EuRoC 20 fps)
     min_frames_between_kf: int = 0
     ref_ratio: float = 0.9              # mono (reference :3551-3569)
+    # >0 replaces the c1 cadence with a fixed frame interval (c2 still ORs
+    # in). For synthetic fixtures whose per-frame motion is far larger than a
+    # real camera's — the reference's c2 fires on real-image feature churn
+    # that renderers don't produce. 0 = reference policy.
+    kf_interval_override: int = 0
     # local map sizes
     max_local_kfs: int = 20
     max_local_mps: int = 4096
@@ -105,7 +111,7 @@ class Tracker:
         self.D = None if (D is None or cam_type != 0) else np.asarray(D, np.float32)
         self.wh = np.asarray(wh, np.float32)
         self.orb_cfg = orb_cfg
-        self.map = map_state
+        self._map = map_state
         self.p = params or TrackingParams()
         self.rng = np.random.default_rng(seed)
         self.current_frame: Frame | None = None
@@ -154,6 +160,8 @@ class Tracker:
         self.velocity: tuple[np.ndarray, np.ndarray] | None = None  # T_cl
         self.ref_kf: int = -1
         self.last_kf_frame_id: int = -1
+        self._last_kf_ts: float = -1e18
+        self._last_reloc_frame_id: int = -(10 ** 9)
         self.frames_since_reloc = 0
         self.n_frames = 0
         # Atlas hooks (set by the system): called when tracking stays lost
@@ -177,6 +185,51 @@ class Tracker:
 
         sf2 = self.map.level_sigma2
         self.inv_sigma2 = self.map.inv_level_sigma2
+        self.map.on_remap["tracker"] = self._on_map_remap
+
+    # ------------------------------------------------------------------
+    # pool compaction protocol
+    # ------------------------------------------------------------------
+    @property
+    def map(self) -> MapState:
+        return self._map
+
+    @map.setter
+    def map(self, m: MapState):
+        """Rebinding the tracker to a(nother) map moves its remap-callback
+        registration (MapState.on_remap) along."""
+        old = getattr(self, "_map", None)
+        if old is not None and old is not m:
+            old.on_remap.pop("tracker", None)
+        self._map = m
+        m.on_remap["tracker"] = self._on_map_remap
+
+    def _on_map_remap(self, kf_remap: np.ndarray, mp_remap: np.ndarray):
+        """Map pools were compacted/grown (MapState.compact/grow): remap every
+        kf/mp id this tracker holds. Runs under the map lock."""
+        if self.ref_kf >= 0:
+            r = int(kf_remap[self.ref_kf])
+            if r < 0:   # ref culled (shouldn't happen: culling re-anchors)
+                valid = self.map.valid_kf_ids()
+                r = int(valid[-1]) if len(valid) else -1
+            self.ref_kf = r
+        self.kf_preints = {int(kf_remap[k]): v for k, v in self.kf_preints.items()
+                           if kf_remap[k] >= 0}
+        new_traj = []
+        for (ts, k, Rcr, tcr, lost) in self.trajectory:
+            if k >= 0:
+                k2 = int(kf_remap[k])
+                if k2 < 0:
+                    new_traj.append((ts, -1, None, None, True))
+                    continue
+                k = k2
+            new_traj.append((ts, k, Rcr, tcr, lost))
+        self.trajectory = new_traj
+        for f in {id(f): f for f in (self.last_frame, self.current_frame,
+                                     self.init_frame) if f is not None}.values():
+            if f.feat_mp is not None:
+                pos = f.feat_mp >= 0
+                f.feat_mp[pos] = mp_remap[f.feat_mp[pos]]
 
     # ------------------------------------------------------------------
     # IMU (visual-inertial)
@@ -374,9 +427,11 @@ class Tracker:
         # composes mlRelativeFramePoses the same way, src/System.cc:612-640 —
         # negligible there because its corrections are near-rigid, but the
         # mono init rescale is 5-10x and was worth 0.2 of ATE here)
+        # frozen (k = -2) entries belong to a retired map's frame: skip them
         self.trajectory = [
-            (ts_, k_, R_, None if t_ is None else (t_ * s).astype(np.float32), l_)
-            for (ts_, k_, R_, t_, l_) in self.trajectory]
+            e if (e[1] == -2 or e[3] is None) else
+            (e[0], e[1], e[2], (e[3] * s).astype(np.float32), e[4])
+            for e in self.trajectory]
         vels = np.asarray(res.vels)
         # per-KF velocities (reference SetVelocity in InitializeIMU): solved
         # ones for the chain, finite differences of the corrected poses for
@@ -631,6 +686,7 @@ class Tracker:
         frame.feat_mp = m.kf_feat_mp[k0].copy()
         self.ref_kf = k0
         self.last_kf_frame_id = frame.frame_id
+        self._last_kf_ts = frame.ts
         self.velocity = None
         self.state = TrackState.OK
         frame.tracked = True
@@ -774,6 +830,7 @@ class Tracker:
         f1.feat_mp = m.kf_feat_mp[k1].copy()
         self.ref_kf = k1
         self.last_kf_frame_id = f1.frame_id
+        self._last_kf_ts = f1.ts
         self.velocity = None
         # discard IMU accumulated before the map existed (reference resets the
         # from-last-KF preintegrator at initialization, src/Tracking.cc:2504)
@@ -1169,8 +1226,11 @@ class Tracker:
                 bow_cands = self.reloc_candidates_fn(frame.desc, frame.valid)
                 cands = [int(c) for c in bow_cands] + \
                     [c for c in cands if int(c) not in set(map(int, bow_cands))]
-            except Exception:
-                pass
+            except Exception as e:   # keep reloc alive, but surface the defect
+                from ..utils import verbose
+                verbose.print_mess(
+                    f"relocalization candidate query failed: {e!r}",
+                    verbose.NORMAL)
         for k in cands:
             k = int(k)
             has_mp = m.kf_feat_valid[k] & (m.kf_feat_mp[k] >= 0)
@@ -1211,6 +1271,7 @@ class Tracker:
             if inl >= self.p.min_local_inliers:
                 self.ref_kf = k
                 self.frames_since_reloc = 0
+                self._last_reloc_frame_id = frame.frame_id
                 return True
         return False
 
@@ -1260,29 +1321,85 @@ class Tracker:
     # keyframe policy
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, frame: Frame) -> bool:
+        """Reference NeedNewKeyFrame (src/Tracking.cc:3468-3643): the full
+        c1a/c1b/c1c/c2 | c3/c4 condition set with the pre-IMU-init 0.25 s
+        cadence, the reloc guard, and the close-point triggers."""
         p = self.p
         m = self.map
         if self.ref_kf < 0:
+            return False
+        last_kf_ts = float(m.kf_ts[self.ref_kf])
+        if self.last_kf_frame_id >= 0:
+            # ref_kf may be an older covisible KF; prefer the true last-KF ts
+            last_kf_ts = max(last_kf_ts, self._last_kf_ts)
+        # pre-IMU-init inertial cadence: insert every 0.25 s (:3472-3475)
+        if self.imu_enabled and not self.imu_initialized:
+            return frame.ts - last_kf_ts >= 0.25
+        if p.kf_interval_override > 0:
+            # fixed-interval cadence for synthetic fixtures (round-1 policy)
+            ref_mps0 = m.kf_feat_mp[self.ref_kf]
+            ref_mps0 = ref_mps0[ref_mps0 >= 0]
+            ref_mps0 = ref_mps0[m.mp_valid[ref_mps0]]
+            n_ref0 = max(len(ref_mps0), 1)
+            n_tr = frame.n_matched()
+            c1 = frame.frame_id >= self.last_kf_frame_id + p.kf_interval_override
+            c2 = (n_tr < p.ref_ratio * n_ref0) and n_tr > 15
+            if not (c1 or c2):
+                return False
+            return self.mapper_accepting is None or self.mapper_accepting()
+        # reloc guard: wait mMaxFrames frames after a relocalization when the
+        # map is already dense (:3502-3506)
+        n_kfs = int(m.kf_valid[: m.n_kf].sum())
+        if (frame.frame_id < self._last_reloc_frame_id + p.max_frames_between_kf
+                and n_kfs > p.max_frames_between_kf):
             return False
         # nRefMatches = ref-KF map points with >= minObs observations
         # (reference KeyFrame::TrackedMapPoints, src/Tracking.cc:3509-3523)
         ref_mps = m.kf_feat_mp[self.ref_kf]
         ref_mps = ref_mps[ref_mps >= 0]
         ref_mps = ref_mps[m.mp_valid[ref_mps]]
-        min_obs = 3 if m.n_kf > 2 else 2
+        min_obs = 3 if n_kfs > 2 else 2
         if len(ref_mps):
             ref_mps = ref_mps[m.obs_count(ref_mps) >= min_obs]
         n_ref = max(len(ref_mps), 1)
-        n_tracked = frame.n_matched()
+        n_tracked = getattr(self, "n_local_inliers", frame.n_matched())
+        idle = self.mapper_accepting is None or self.mapper_accepting()
+        # close-point triggers (stereo/RGB-D only, :3527-3546)
+        is_mono = self.bf <= 0
+        need_close = False
+        if not is_mono and self.th_depth > 0:
+            close = (frame.depth > 0) & (frame.depth < self.th_depth)
+            n_tracked_close = int((close & (frame.feat_mp >= 0)).sum())
+            n_untracked_close = int((close & (frame.feat_mp < 0)).sum())
+            need_close = (n_tracked_close < 100) and (n_untracked_close > 70)
+        # thRefRatio (:3551-3569)
+        th_ref = 0.75
+        if n_kfs < 2:
+            th_ref = 0.4
+        elif is_mono and not self.imu_enabled:
+            th_ref = p.ref_ratio          # mono: 0.9
+        elif self.rig is not None:
+            th_ref = 0.75
+        elif self.imu_enabled and is_mono:
+            th_ref = 0.75 if n_tracked > 350 else 0.9
         c1a = frame.frame_id >= self.last_kf_frame_id + p.max_frames_between_kf
-        c2 = (n_tracked < p.ref_ratio * n_ref) and n_tracked > 15
-        if not (c1a or c2):
+        c1b = (frame.frame_id >= self.last_kf_frame_id + p.min_frames_between_kf
+               and idle)
+        c1c = (not is_mono and not self.imu_enabled
+               and (n_tracked < 0.25 * n_ref or need_close))
+        c2 = ((n_tracked < th_ref * n_ref or need_close) and n_tracked > 15)
+        # inertial temporal/rescue triggers (:3585-3607)
+        c3 = self.imu_enabled and (frame.ts - last_kf_ts >= 0.5)
+        c4 = (self.imu_enabled and is_mono
+              and (15 < n_tracked < 75
+                   or self.state == TrackState.RECENTLY_LOST))
+        if not (((c1a or c1b or c1c) and c2) or c3 or c4):
             return False
-        # backpressure (reference: mono inserts only when the mapper queue
-        # is short and LocalMapping accepts keyframes, src/Tracking.cc:3626)
-        if self.mapper_accepting is not None and not self.mapper_accepting():
-            return False
-        return True
+        if idle:
+            return True
+        # mapper busy: non-mono may still queue (<3 gate lives in
+        # mapper_accepting, reference :3626); mono never does (:3637)
+        return False
 
     def _create_new_keyframe(self, frame: Frame):
         m = self.map
@@ -1302,6 +1419,7 @@ class Tracker:
             m.kf_bias_a[k] = self.imu_bias_a
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id
+        self._last_kf_ts = frame.ts
         # IMU init + VIBA staging run in the mapper (reference
         # src/LocalMapping.cc:211-288); keep a synchronous fallback when no
         # mapper is wired
@@ -1331,6 +1449,44 @@ class Tracker:
         Rcr = frame.R @ Rri
         tcr = frame.R @ tri + frame.t
         self.trajectory.append((frame.ts, k, Rcr, tcr, not tracked))
+
+    def freeze_trajectory(self, mark_lost: bool = False):
+        """Convert map-relative trajectory entries into absolute poses before
+        the tracker leaves the map they reference (Atlas loss-spawn / switch).
+        Frozen entries (k = -2, storing T_cw directly) stop receiving BA
+        corrections — their map is retired, so none will come (the reference
+        equivalently walks mlpReferences into stored maps at save time and
+        marks reset-map frames lost, src/System.cc:612-640, Tracking reset).
+        ``mark_lost`` flags them lost (map wiped rather than stored)."""
+        m = self.map
+        out = []
+        for (ts, k, Rcr, tcr, lost) in self.trajectory:
+            if k >= 0 and Rcr is not None and m.kf_valid[k]:
+                Rr, tr_ = m.kf_R[k], m.kf_t[k]
+                Rcw = Rcr @ Rr
+                tcw = Rcr @ tr_ + tcr
+                out.append((ts, -2, Rcw.astype(np.float32),
+                            tcw.astype(np.float32), lost or mark_lost))
+            elif k >= 0 and Rcr is not None:
+                out.append((ts, -1, None, None, True))
+            else:
+                out.append((ts, k, Rcr, tcr, lost))
+        self.trajectory = out
+
+    def remap_trajectory_for_merge(self, kf_map: dict):
+        """After an Atlas merge: relative entries reference the pre-merge
+        current map — rewrite them to the migrated keyframe ids so they keep
+        receiving corrections in the merged map."""
+        out = []
+        for (ts, k, Rcr, tcr, lost) in self.trajectory:
+            if k >= 0:
+                nk = kf_map.get(int(k))
+                if nk is None:
+                    out.append((ts, -1, None, None, True))
+                    continue
+                k = nk
+            out.append((ts, k, Rcr, tcr, lost))
+        self.trajectory = out
 
     def reanchor_trajectory(self, k: int):
         """Re-anchor logged frames whose reference keyframe is about to be
@@ -1364,11 +1520,14 @@ class Tracker:
         m = self.map
         out_ts, out_R, out_t, lost = [], [], [], []
         for ts, k, Rcr, tcr, is_lost in self.trajectory:
-            if k < 0 or Rcr is None:
+            if Rcr is None or k == -1:
                 continue
-            Rr, tr = m.kf_R[k], m.kf_t[k]
-            Rcw = Rcr @ Rr
-            tcw = Rcr @ tr + tcr
+            if k == -2:     # frozen absolute entry (see freeze_trajectory)
+                Rcw, tcw = Rcr, tcr
+            else:
+                Rr, tr = m.kf_R[k], m.kf_t[k]
+                Rcw = Rcr @ Rr
+                tcw = Rcr @ tr + tcr
             out_ts.append(ts)
             out_R.append(Rcw.T)
             out_t.append(-Rcw.T @ tcw)

@@ -41,6 +41,15 @@ def _load():
         lib.observations_of.argtypes = [p32, pu8, i64, i64, pu8, i64, p32, p32, i64]
         lib.observations_of.restype = i64
         lib.replace_points.argtypes = [p32, i64, i64, p32, i64]
+        pf32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        pu32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.refresh_points.argtypes = [
+            p32, pu8, pu32, p32, pf32, pf32, i64, i64, p64, i64, pf32, pf32,
+            i64, i64, pu32, pf32, pf32, pf32, pu8]
+        lib.kf_redundancy.argtypes = [
+            p32, pu8, p32, pf32, ctypes.c_double, i64, i64, p32, i64, i64,
+            p32, p32]
         _lib = lib
     except Exception:
         _lib = None
@@ -100,6 +109,53 @@ def observations_of(feat_mp: np.ndarray, kf_valid: np.ndarray,
                             np.ascontiguousarray(kf_valid, np.uint8),
                             n_kf, n_feat, wanted, max_mp, out_kf, out_feat, cap)
     return out_kf[:n].copy(), out_feat[:n].copy()
+
+
+def refresh_points(feat_mp, kf_valid, kf_desc, kf_octave, kf_R, kf_t,
+                   mp_ids, mp_xyz, scale_factors,
+                   mp_desc, mp_normal, mp_min, mp_max):
+    """Distinctive descriptor + normal + scale range for the given points,
+    written in place; returns alive mask (False = no observation left).
+    Returns None when the native library is unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_kf, n_feat = feat_mp.shape
+    n_ids = len(mp_ids)
+    alive = np.zeros(n_ids, np.uint8)
+    if n_ids == 0:
+        return alive.astype(bool)
+    lib.refresh_points(
+        np.ascontiguousarray(feat_mp), np.ascontiguousarray(kf_valid, np.uint8),
+        np.ascontiguousarray(kf_desc), np.ascontiguousarray(kf_octave),
+        np.ascontiguousarray(kf_R), np.ascontiguousarray(kf_t),
+        n_kf, n_feat, np.ascontiguousarray(mp_ids, np.int64), n_ids,
+        np.ascontiguousarray(mp_xyz),
+        np.ascontiguousarray(scale_factors, np.float32),
+        len(scale_factors), mp_xyz.shape[0],
+        mp_desc, mp_normal, mp_min, mp_max, alive)
+    return alive.astype(bool)
+
+
+def kf_redundancy(feat_mp, kf_valid, kf_octave, kf_depth, th_depth,
+                  cand, max_mp):
+    """(redundant, total) point counts per candidate keyframe (reference
+    KeyFrameCulling redundancy test, scale-aware). None if no native lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_kf, n_feat = feat_mp.shape
+    cand = np.ascontiguousarray(cand, np.int32)
+    red = np.zeros(len(cand), np.int32)
+    tot = np.zeros(len(cand), np.int32)
+    if len(cand) == 0:
+        return red, tot
+    lib.kf_redundancy(
+        np.ascontiguousarray(feat_mp), np.ascontiguousarray(kf_valid, np.uint8),
+        np.ascontiguousarray(kf_octave),
+        np.ascontiguousarray(kf_depth, np.float32), float(th_depth),
+        n_kf, n_feat, cand, len(cand), max_mp, red, tot)
+    return red, tot
 
 
 def replace_points(feat_mp: np.ndarray, lut: np.ndarray, max_mp: int) -> None:

@@ -64,7 +64,12 @@ def _control_points(xw: jax.Array):
     d = xw - c0[:, None]
     cov = jnp.einsum("bni,bnj->bij", d, d) / xw.shape[1]
     w, v = jnp.linalg.eigh(cov)                            # ascending
-    ax = v.transpose(0, 2, 1) * jnp.sqrt(jnp.maximum(w, 1e-12))[..., None]
+    std = jnp.sqrt(jnp.maximum(w, 1e-12))
+    # floor the smallest axes relative to the largest: for (near-)planar point
+    # sets the PCA basis is otherwise singular and the barycentric solve
+    # returns NaN poses (ADVICE r1; epnp_ransac was safe, direct epnp not)
+    std = jnp.maximum(std, 1e-3 * std[..., -1:])
+    ax = v.transpose(0, 2, 1) * std[..., None]
     return jnp.concatenate([c0[:, None], c0[:, None] + ax], axis=1)
 
 

@@ -299,7 +299,10 @@ class RoomScene:
             tex = self.textures[pi % len(self.textures)]
             gu = (hitp @ ua) * self.tex_scale % (self.tex_n - 1)
             gv = (hitp @ va) * self.tex_scale % (self.tex_n - 1)
-            x0 = gu.astype(int); y0 = gv.astype(int)
+            # np.mod(x, y) can return exactly y for |x| >> y (floor-division
+            # rounding); near-parallel rays produce such huge hit coords
+            x0 = np.clip(gu.astype(int), 0, self.tex_n - 2)
+            y0 = np.clip(gv.astype(int), 0, self.tex_n - 2)
             fx_ = gu - x0; fy_ = gv - y0
             val = (tex[y0, x0] * (1 - fx_) * (1 - fy_) + tex[y0, x0 + 1] * fx_ * (1 - fy_)
                    + tex[y0 + 1, x0] * (1 - fx_) * fy_ + tex[y0 + 1, x0 + 1] * fx_ * fy_)

@@ -17,3 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def dense_tracking_params(**kw):
+    """Tracking params for the short synthetic fixtures: their per-frame
+    motion is much larger than a real 20 fps camera's and rendered features
+    don't churn the way real ones do, so the reference c2 condition rarely
+    fires — pin a fixed 5-frame keyframe cadence instead (the effective
+    density the reference reaches on real imagery)."""
+    from orbslam3_tpu.models.tracking import TrackingParams
+    kw.setdefault("kf_interval_override", 5)
+    return TrackingParams(**kw)

@@ -9,6 +9,7 @@ we assert that the SAME sequence tracked in async mode (a) keeps tracking,
 import numpy as np
 import pytest
 
+from conftest import dense_tracking_params
 from orbslam3_tpu.models.system import SlamSystem
 from orbslam3_tpu.models.tracking import TrackState
 from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
@@ -21,7 +22,7 @@ N_FRAMES = 28
 def async_run():
     scene = RoomScene(seed=1)
     poses = orbit_trajectory(N_FRAMES, radius=1.0, forward=0.04)
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params(),
                      mapping_mode="async")
     gt_centers = []
     states = []
@@ -66,7 +67,7 @@ def test_background_gba_propagates_new_keyframes():
     src/LoopClosing.cc:2640-2830)."""
     scene = RoomScene(seed=2)
     poses = orbit_trajectory(24, radius=1.0, forward=0.04)
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0)
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params())
     for i, (R, t) in enumerate(poses):
         sys.track_monocular(scene.render(R, t), ts=float(i) / 20.0)
     assert sys.state == TrackState.OK
@@ -83,7 +84,7 @@ def test_background_gba_propagates_new_keyframes():
 def test_gba_abort_leaves_map_untouched():
     scene = RoomScene(seed=3)
     poses = orbit_trajectory(20, radius=1.0, forward=0.04)
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0)
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params())
     for i, (R, t) in enumerate(poses):
         sys.track_monocular(scene.render(R, t), ts=float(i) / 20.0)
     m = sys.map

@@ -2,6 +2,7 @@
 import numpy as np
 import pytest
 
+from conftest import dense_tracking_params
 from orbslam3_tpu.models.system import SlamSystem
 from orbslam3_tpu.models.tracking import TrackState
 from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
@@ -12,10 +13,10 @@ def test_loss_creates_new_map_and_merge_on_revisit():
     poses = orbit_trajectory(14, radius=0.6, forward=0.03)
     B = 0.11
     bf = B * scene.fx
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params(),
                      bf=bf, th_depth=B * 40, enable_loop_closing=False)
     sys.tracker.frames_to_new_map = 4
-    sys.tracker.p.max_frames_between_kf = 1  # densify KFs to exceed the
+    sys.tracker.p.kf_interval_override = 1  # densify KFs to exceed the
     # reference's >=10-KF keep-map threshold quickly
 
     # phase 1: build map A

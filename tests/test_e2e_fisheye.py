@@ -9,6 +9,7 @@ dispatch through the fisheye model everywhere).
 import numpy as np
 import pytest
 
+from conftest import dense_tracking_params
 from orbslam3_tpu.models.system import SlamSystem
 from orbslam3_tpu.models.tracking import TrackState
 from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
@@ -35,7 +36,7 @@ def test_fisheye_two_camera_stereo_tracks_metric():
                                                   jnp.float32)))
     t_rl = np.array([-baseline, 0.0, 0.0], np.float32)  # x_r = R x_l + t
     poses = orbit_trajectory(N_FRAMES, radius=0.5, forward=0.03)
-    sys = SlamSystem(KB8, None, (512, 512), n_features=512, seed=0,
+    sys = SlamSystem(KB8, None, (512, 512), n_features=512, seed=0, tracking_params=dense_tracking_params(),
                      cam_type=1, enable_loop_closing=False)
     sys.set_fisheye_rig(KB8, R_rl, t_rl, lap_l=(0.0, 511.0), lap_r=(0.0, 511.0))
     gt, states = [], []
@@ -67,7 +68,7 @@ def test_mono_fisheye_tracks():
                       h=512, w=512, fx=190.978, fy=190.973, cx=256.0, cy=256.0)
     scene.kb8_params = KB8
     poses = orbit_trajectory(N_FRAMES, radius=0.6, forward=0.03)
-    sys = SlamSystem(KB8, None, (512, 512), n_features=512, seed=0,
+    sys = SlamSystem(KB8, None, (512, 512), n_features=512, seed=0, tracking_params=dense_tracking_params(),
                      cam_type=1, enable_loop_closing=False)
     gt = []
     states = []

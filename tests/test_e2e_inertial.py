@@ -4,6 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from conftest import dense_tracking_params
 from orbslam3_tpu.models.system import SlamSystem
 from orbslam3_tpu.models.tracking import TrackState
 from orbslam3_tpu.ops import lie
@@ -55,7 +56,7 @@ def test_mono_inertial_recovers_metric_scale():
     n_frames = 64
     scene = RoomScene(seed=4, depth=6.0, half_w=4.0, half_h=2.5)
     imu_ts, gyro, acc = make_imu(n_frames)
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params(),
                      enable_loop_closing=False)
     sys.enable_imu(freq=IMU_HZ)
     per = IMU_HZ // int(FPS)

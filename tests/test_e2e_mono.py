@@ -10,6 +10,7 @@ units ATE over this 32-frame orbit (scene scale ~10 m).
 import numpy as np
 import pytest
 
+from conftest import dense_tracking_params
 from orbslam3_tpu.models.system import SlamSystem
 from orbslam3_tpu.models.tracking import TrackState
 from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
@@ -22,7 +23,7 @@ N_FRAMES = 32
 def slam_run():
     scene = RoomScene(seed=1)
     poses = orbit_trajectory(N_FRAMES, radius=1.0, forward=0.04)
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0)
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params())
     gt_centers = []
     states = []
     for i, (R, t) in enumerate(poses):
@@ -41,7 +42,11 @@ def test_initializes_and_tracks(slam_run):
     non_ok = sum(s != TrackState.OK for s in states[10:])
     assert non_ok <= 4, [s.name for s in states]
     st = sys.stats()
-    assert st["n_keyframes"] >= 4
+    # reference-faithful keyframe culling (uncapped, scale-aware — reference
+    # src/LocalMapping.cc:1218) prunes hard on this feature-stable synthetic
+    # scene: most KFs are >90% redundant, as they would be for the reference
+    assert st["n_keyframes"] >= 3
+    assert st.get("culled_kf", 0) > 0          # culling actually ran
     assert st["n_map_points"] > 150, st
 
 

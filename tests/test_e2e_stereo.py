@@ -3,6 +3,7 @@ scale gauge in the ATE — stereo must recover absolute scale)."""
 import numpy as np
 import pytest
 
+from conftest import dense_tracking_params
 from orbslam3_tpu.models.system import SlamSystem
 from orbslam3_tpu.models.tracking import TrackState
 from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
@@ -17,7 +18,7 @@ def stereo_run():
     scene = RoomScene(seed=2, depth=6.0, half_w=4.0, half_h=2.5)
     poses = orbit_trajectory(N_FRAMES, radius=0.6, forward=0.03)
     bf = BASELINE * scene.fx
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params(),
                      bf=bf, th_depth=BASELINE * 40)
     gt = []
     states = []
@@ -56,7 +57,7 @@ def test_rgbd_pipeline():
     scene = RoomScene(seed=3, depth=6.0, half_w=4.0, half_h=2.5)
     poses = orbit_trajectory(14, radius=0.6, forward=0.03)
     bf = BASELINE * scene.fx
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params(),
                      bf=bf, th_depth=BASELINE * 40)
     gt = []
     for i, (R, t) in enumerate(poses):

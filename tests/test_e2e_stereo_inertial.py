@@ -5,6 +5,7 @@ the 1e5 acc prior for stereo, src/LocalMapping.cc:213-221)."""
 import numpy as np
 import jax.numpy as jnp
 
+from conftest import dense_tracking_params
 from orbslam3_tpu.models.system import SlamSystem
 from orbslam3_tpu.ops import lie
 from orbslam3_tpu.utils.datasets import RoomScene
@@ -47,7 +48,7 @@ def test_stereo_inertial_metric_ate():
     scene = RoomScene(seed=2, depth=6.0, half_w=4.0, half_h=2.5)
     imu_ts, gyro, acc = make_imu(n_frames)
     bf = BASELINE * scene.fx
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params(),
                      bf=bf, th_depth=BASELINE * 40, enable_loop_closing=False)
     sys.enable_imu(freq=IMU_HZ)
     per = IMU_HZ // int(FPS)

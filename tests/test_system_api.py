@@ -2,6 +2,7 @@
 localization-only mode, resets, state getters, map save/load."""
 import numpy as np
 
+from conftest import dense_tracking_params
 from orbslam3_tpu.models.system import SlamSystem
 from orbslam3_tpu.models.tracking import TrackState
 from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
@@ -16,7 +17,7 @@ def _run(sys, scene, poses, start=0, n=None):
 def test_localization_mode_and_resets(tmp_path):
     scene = RoomScene(seed=1)
     poses = orbit_trajectory(26, radius=1.0, forward=0.04)
-    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0, tracking_params=dense_tracking_params(),
                      enable_loop_closing=False)
     _run(sys, scene, poses, 0, 16)
     assert sys.get_tracking_state() == TrackState.OK
@@ -37,7 +38,7 @@ def test_localization_mode_and_resets(tmp_path):
     sys.save_map(d)
     xyz_before = sys.map.mp_xyz[sys.map.mp_valid].copy()
     sys2 = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512,
-                      seed=0, enable_loop_closing=False)
+                      seed=0, tracking_params=dense_tracking_params(), enable_loop_closing=False)
     sys2.load_map(d)
     assert np.array_equal(sys2.map.mp_xyz[sys2.map.mp_valid], xyz_before)
     assert sys2.get_tracking_state() in (TrackState.RECENTLY_LOST,
