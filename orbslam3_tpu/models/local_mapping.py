@@ -15,6 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import ba as ba_ops
+from ..utils.timing import StageTimer
 from . import kernels
 from .map import MapState
 
@@ -51,6 +52,9 @@ class LocalMapper:
         self._vi_jit = {}
         # two-camera rig (dict with cam_r/R_rl/t_rl) — adds ToBody residuals
         self.rig = None
+        self.timer = StageTimer()   # shared pipeline timer (system-injected)
+        # bad-IMU hook (reference mbBadImu → Tracking resets the active map)
+        self.on_bad_imu = None
         map_state.on_remap["mapper"] = self._on_map_remap
 
     def _on_map_remap(self, kf_remap: np.ndarray, mp_remap: np.ndarray):
@@ -79,25 +83,30 @@ class LocalMapper:
         m = self.map
         with m.lock:
             kf_id = m.maybe_compact(kf_id)
-            m.refresh_map_points(
-                np.unique(m.kf_feat_mp[kf_id][m.kf_feat_mp[kf_id] >= 0]))
+            with self.timer.stage("5.kf_insert"):
+                m.refresh_map_points(
+                    np.unique(m.kf_feat_mp[kf_id][m.kf_feat_mp[kf_id] >= 0]))
             if initial:
                 # initial map: global BA over the 2 bootstrap KFs (reference
                 # CreateInitialMapMonocular runs GlobalBundleAdjustemnt(20))
                 self.local_ba(kf_id, iters=(10, 20))
                 self._renormalize_initial_scale(kf_id)
                 return kf_id
-            self.cull_map_points(kf_id)
-            self.create_new_map_points(kf_id)
-            self.search_in_neighbors(kf_id)
+            with self.timer.stage("6.mp_culling"):
+                self.cull_map_points(kf_id)
+            with self.timer.stage("7.mp_creation"):
+                self.create_new_map_points(kf_id)
+            with self.timer.stage("8.fuse"):
+                self.search_in_neighbors(kf_id)
         if abort_check is None or not abort_check():
-            if (self.inertial is not None and self.inertial.imu_initialized):
-                # reference: LocalInertialBA replaces LocalBundleAdjustment
-                # once the map is IMU-initialized (src/LocalMapping.cc:153-187)
-                self.local_inertial_ba(kf_id)
-            else:
-                self.local_ba(kf_id)
-            with m.lock:
+            with self.timer.stage("9.local_ba"):
+                if (self.inertial is not None and self.inertial.imu_initialized):
+                    # reference: LocalInertialBA replaces LocalBundleAdjustment
+                    # once the map is IMU-initialized (src/LocalMapping.cc:153-187)
+                    self.local_inertial_ba(kf_id)
+                else:
+                    self.local_ba(kf_id)
+            with m.lock, self.timer.stage("10.kf_culling"):
                 self.cull_keyframes(kf_id)
         if self.inertial is not None and self.inertial.imu_enabled:
             with m.lock:
@@ -614,10 +623,22 @@ class LocalMapper:
         # abortable chunks of 2 LM iterations
         if abort_check is not None and abort_check():
             return False
-        res = self._run_ba(prob, (iters[0], 0))
-        prob = prob._replace(R=res.R, t=res.t, pts=res.pts,
-                             obs_valid=prob.obs_valid & res.obs_inlier)
-        done = 0
+        # multi-chip backend: above a size threshold on a multi-device mesh,
+        # the landmark-sharded full-LM solve (parallel/sharded_ba) replaces
+        # the single-device path — one psum-reduced Schur step per iteration
+        # over ICI (SURVEY §5.8; abort granularity becomes the whole solve)
+        sharded = self._try_sharded_global_ba(
+            kfs, pts, o_kf, o_mp, o_uv, o_is2, old_R, old_t, fixed_mask, iters)
+        if sharded is not None:
+            res = sharded
+            prob = prob._replace(R=res.R, t=res.t, pts=res.pts)
+            # fall through to write-back with the sharded result
+            done = iters[1]
+        else:
+            res = self._run_ba(prob, (iters[0], 0))
+            prob = prob._replace(R=res.R, t=res.t, pts=res.pts,
+                                 obs_valid=prob.obs_valid & res.obs_inlier)
+            done = 0
         while done < iters[1]:
             if abort_check is not None and abort_check():
                 return False
@@ -642,18 +663,28 @@ class LocalMapper:
             in_ba[pts[keep]] = True
             if propagate:
                 # keyframes created during the run: T_k_new = T_k_old ∘
-                # (T_a_old⁻¹ ∘ T_a_new) with anchor a = last snapshot KF.
-                # Their pre-correction (old-world) poses live in the pool NOW —
-                # capture them before overwriting so the map-point re-anchoring
-                # below can use the right "old" pose.
-                a = kfs[-1]
-                Ra_rel = old_R[a].T @ m.kf_R[a]
-                ta_rel = old_R[a].T @ (m.kf_t[a] - old_t[a])
+                # (T_a_old⁻¹ ∘ T_a_new) with anchor a = each keyframe's own
+                # most-covisible snapshot keyframe — the framework's
+                # equivalent of the reference's spanning-tree parent walk
+                # (src/LoopClosing.cc:2640-2830: mTcwBefGBA of the parent);
+                # a single global anchor would misplace keyframes far from
+                # it after a large loop correction. Pre-correction poses are
+                # captured before overwriting so the map-point re-anchoring
+                # below uses the right "old" pose.
+                in_snap = np.zeros(m.cfg.max_keyframes, bool)
+                in_snap[np.asarray(kfs)] = True
+                Ra_rel = old_R[kfs[-1]].T @ m.kf_R[kfs[-1]]
+                ta_rel = old_R[kfs[-1]].T @ (m.kf_t[kfs[-1]] - old_t[kfs[-1]])
                 for k in range(snap_n_kf, m.n_kf):
                     old_R[k] = m.kf_R[k]
                     old_t[k] = m.kf_t[k]
                     if not m.kf_valid[k]:
                         continue
+                    w = m.covisibility_row(k)
+                    w[~in_snap[: len(w)]] = 0
+                    a = int(np.argmax(w)) if w.max() > 0 else kfs[-1]
+                    Ra_rel = old_R[a].T @ m.kf_R[a]
+                    ta_rel = old_R[a].T @ (m.kf_t[a] - old_t[a])
                     m.kf_R[k] = (old_R[k] @ Ra_rel).astype(np.float32)
                     m.kf_t[k] = (old_R[k] @ ta_rel + old_t[k]).astype(np.float32)
                 # map points not directly solved: re-anchor through their
@@ -676,6 +707,52 @@ class LocalMapper:
         self.stats["gba_runs"] = self.stats.get("gba_runs", 0) + 1
         return True
 
+    def _try_sharded_global_ba(self, kfs, pts, o_kf, o_mp, o_uv, o_is2,
+                               old_R, old_t, fixed_mask, iters,
+                               min_kfs: int = 64):
+        """Distributed full-LM global BA over a landmark-sharded device mesh
+        (parallel/sharded_ba.make_sharded_ba_solver). Returns a BAResult-like
+        object, or None when a single device / small problem makes the
+        single-chip path the right one. Second-camera rigs fall back (the
+        sharded kernel carries mono rows only for now)."""
+        import jax
+        if (jax.device_count() < 2 or len(kfs) < min_kfs
+                or self.rig is not None):
+            return None
+        import jax.numpy as jnp
+        from ..parallel import sharded_ba as sb
+        from ..ops.ba import BAResult
+        mesh = sb.make_mesh()
+        n_sh = len(mesh.devices.reshape(-1))
+        n_pts_pad, o_per, out_mp, out_valid, outs = sb.partition_by_landmark(
+            o_mp.astype(np.int64), len(pts), n_sh,
+            {"kf": o_kf.astype(np.int32), "uv": o_uv.astype(np.float32),
+             "w": o_is2.astype(np.float32)})
+        pts_pad = np.zeros((n_pts_pad, 3), np.float32)
+        pts_pad[: len(pts)] = self.map.mp_xyz[pts]
+        K = len(kfs)
+        solver = sb.make_sharded_ba_solver(
+            mesh, n_kf=K, cam_type=self.cam_type,
+            iters1=iters[0], iters2=iters[1])
+        Rn, tn, ptsn, inl = solver(
+            jnp.asarray(old_R[kfs]), jnp.asarray(old_t[kfs]),
+            jnp.asarray(fixed_mask),
+            jnp.asarray(pts_pad), jnp.asarray(outs["kf"]),
+            jnp.asarray(out_mp), jnp.asarray(outs["uv"]),
+            jnp.asarray(outs["w"] * out_valid),
+            jnp.asarray(self.K))
+        self.stats["sharded_gba_runs"] = (
+            self.stats.get("sharded_gba_runs", 0) + 1)
+        # map the shard-ordered inliers back: observations were re-ordered,
+        # so outlier erasure is skipped on this path (the next local BA
+        # reclassifies) — report all-inlier
+        O = len(o_kf)
+        return BAResult(
+            R=jnp.asarray(np.asarray(Rn)), t=jnp.asarray(np.asarray(tn)),
+            pts=jnp.asarray(np.asarray(ptsn)[: len(pts)]),
+            obs_inlier=jnp.ones(O, bool),
+            chi2=jnp.asarray(0.0), n_inlier=jnp.asarray(O))
+
     # ------------------------------------------------------------------
     # inertial
     # ------------------------------------------------------------------
@@ -691,12 +768,30 @@ class LocalMapper:
         if not tr.imu_initialized:
             if tr.try_imu_init():
                 # the reference's InitializeIMU does not stop at the MAP
-                # estimate: it runs a full inertial BA on the freshly aligned
-                # map (src/LocalMapping.cc:1720 FullInertialBA(100))
-                self.local_inertial_ba(kf_id, iters=24)
+                # estimate: it runs FullInertialBA(100) on the freshly
+                # aligned map (src/LocalMapping.cc:1720)
+                self.full_inertial_ba(kf_id, iters=16,
+                                      prior_g=1e2,
+                                      prior_a=1e10 if self.bf <= 0 else 1e5)
             return
         ts = float(m.kf_ts[kf_id])
         tinit = ts - tr.imu_init_ts
+        # bad-IMU detection (reference src/LocalMapping.cc:155-172): within
+        # 10 s of IMU init and before VIBA2, near-zero travel over the last
+        # three keyframes means the init was under-excited and the scale/
+        # biases are garbage — reset the active map (src/Tracking.cc:1805)
+        valid = m.valid_kf_ids()
+        if (not tr.viba2_done and tinit < 10.0 and len(valid) >= 3
+                and self.on_bad_imu is not None):
+            k0, k1, k2 = (int(valid[-3]), int(valid[-2]), int(valid[-1]))
+            c = [-m.kf_R[k].T @ m.kf_t[k] for k in (k0, k1, k2)]
+            dist = (float(np.linalg.norm(c[2] - c[1]))
+                    + float(np.linalg.norm(c[1] - c[0])))
+            if dist < 0.02:
+                self.stats["bad_imu_resets"] = (
+                    self.stats.get("bad_imu_resets", 0) + 1)
+                self.on_bad_imu()
+                return
         if not tr.viba1_done and tinit > 5.0:
             if tr.try_imu_init(refine=True, prior_g=1.0, prior_a=1e5):
                 self.stats["viba1"] = 1
@@ -714,75 +809,106 @@ class LocalMapper:
     def local_inertial_ba(self, kf_id: int, iters: int = 8):
         """Local inertial BA (reference LocalInertialBA src/Optimizer.cc:4314:
         temporal window of 10 keyframes linked by mPrevKF preintegration edges
-        + visual edges, boundary fixed). TPU formulation: alternate one
-        structure-only visual refinement (poses fixed) with a pose/velocity/
-        bias smoother over the temporal window (landmarks fixed) — one round
-        of block-coordinate descent on the reference's joint problem."""
+        + visual edges, boundary fixed) as ONE joint landmark+pose/velocity/
+        bias Schur solve (ops/vi_ba.vi_joint_ba) — the round-1 alternating
+        block-coordinate scheme is gone."""
+        self._run_vi_joint(kf_id, window=self.vi_window, iters=iters,
+                           fix_vel_bias_of_fixed=True)
+
+    def full_inertial_ba(self, kf_id: int, iters: int = 12,
+                         prior_g: float = 1e2, prior_a: float = 1e5):
+        """Whole-map joint inertial BA (reference FullInertialBA
+        src/Optimizer.cc:495 — 100 iterations at IMU initialization,
+        src/LocalMapping.cc:1720, and 7 at inertial loop-closure GBA,
+        src/LoopClosing.cc:2601). Window = every valid keyframe; only the
+        first pose is fixed; bias priors follow the bInit path."""
+        m = self.map
+        n = len(m.valid_kf_ids())
+        self._run_vi_joint(kf_id, window=n, iters=iters,
+                           fix_vel_bias_of_fixed=False,
+                           prior_g=prior_g, prior_a=prior_a)
+
+    def _run_vi_joint(self, kf_id: int, window: int, iters: int,
+                      fix_vel_bias_of_fixed: bool,
+                      prior_g: float = 0.0, prior_a: float = 0.0):
         from ..ops import vi_ba as vi_ops
         import functools
         import jax
         tr = self.inertial
         m = self.map
-        # landmark half
-        self.local_ba(kf_id, fix_all_poses=True)
         with m.lock:
-            data = self._gather_vi_window(kf_id)
+            data = self._gather_vi_joint(kf_id, window)
         if data is None:
             return
-        (window, n_win, Kb, args) = data
-        key = (Kb, args["obs_uv"].shape[0])
+        (win, n_win, pts, o_src_kf, o_src_feat, n_obs, args) = data
+        key = (args["R0"].shape[0], args["obs_uv"].shape[0],
+               args["pts0"].shape[0], iters, fix_vel_bias_of_fixed,
+               bool(prior_g), bool(prior_a))
         if key not in self._vi_jit:
             self._vi_jit[key] = jax.jit(functools.partial(
-                vi_ops.vi_window_optimize, cam_type=self.cam_type,
-                iters=iters, prior_g=1e2, prior_a=1e5))
-        res = self._vi_jit[key](
-            args["R0"], args["t0"], args["vels0"], args["bg0"], args["ba0"],
-            args["pts_w"], args["obs_kf"], args["obs_uv"],
-            args["obs_inv_sigma2"], args["obs_valid"],
-            args["dT"], args["dR"], args["dV"], args["dP"],
-            args["JRg"], args["JVg"], args["JVa"], args["JPg"], args["JPa"],
-            args["pre_cov"], args["pair_valid"], args["cam_params"],
-            args["fixed_pose"])
+                vi_ops.vi_joint_ba, cam_type=self.cam_type, iters=iters,
+                prior_g=prior_g, prior_a=prior_a,
+                fix_vel_bias_of_fixed=fix_vel_bias_of_fixed))
+        res = self._vi_jit[key](**args)
         Rn = np.asarray(res.R)
         tn = np.asarray(res.t)
         vn = np.asarray(res.vels)
-        if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
+        bgn = np.asarray(res.bg)
+        ban = np.asarray(res.ba)
+        ptsn = np.asarray(res.pts)
+        if not (np.isfinite(Rn).all() and np.isfinite(tn).all()
+                and np.isfinite(ptsn).all()):
             return
+        fixed = np.asarray(args["fixed_pose"])
         with m.lock:
-            for i, k in enumerate(window):
-                if i == 0 or not m.kf_valid[k]:
-                    continue   # boundary fixed
+            for i, k in enumerate(win):
+                if i >= n_win or fixed[i] or not m.kf_valid[k]:
+                    continue
                 m.kf_R[k] = Rn[i]
                 m.kf_t[k] = tn[i]
                 m.kf_vel[k] = vn[i]
-            bg = np.asarray(res.bg, np.float32)
-            ba = np.asarray(res.ba, np.float32)
-            if np.isfinite(bg).all() and np.isfinite(ba).all():
-                tr.imu_bias_g = bg
-                tr.imu_bias_a = ba
-                m.kf_bias_g[window] = bg
-                m.kf_bias_a[window] = ba
+                if np.isfinite(bgn[i]).all() and np.isfinite(ban[i]).all():
+                    m.kf_bias_g[k] = bgn[i]
+                    m.kf_bias_a[k] = ban[i]
+            keep = m.mp_valid[pts]
+            m.mp_xyz[pts[keep]] = ptsn[: len(pts)][keep]
+            # the tracker predicts with the LAST keyframe's bias (reference
+            # mpLastKeyFrame->GetImuBias())
+            last = win[n_win - 1]
+            if np.isfinite(bgn[n_win - 1]).all():
+                tr.imu_bias_g = bgn[n_win - 1].astype(np.float32)
+                tr.imu_bias_a = ban[n_win - 1].astype(np.float32)
+            # erase outlier observations
+            inl = np.asarray(res.obs_inlier)[: n_obs]
+            bad = ~inl & (o_src_feat >= 0)
+            if bad.any():
+                m.kf_feat_mp[o_src_kf[bad], o_src_feat[bad]] = -1
         self.stats["vi_ba_runs"] = self.stats.get("vi_ba_runs", 0) + 1
 
-    def _gather_vi_window(self, kf_id: int):
-        """Gather the temporal window + preintegration chain + visual obs."""
+    def _gather_vi_joint(self, kf_id: int, window: int):
+        """Gather the temporal window, preintegration chain, landmarks and
+        visual observations for the joint inertial BA."""
         import jax.numpy as jnp
+        from ..ops import imu as imu_ops
         tr = self.inertial
         m = self.map
         kfs = [int(k) for k in m.valid_kf_ids() if k <= kf_id]
-        window = kfs[-self.vi_window:]
-        n_win = len(window)
+        win = kfs[-window:]
+        n_win = len(win)
         if n_win < 3:
             return None
-        Kb = self.vi_window
-        # preintegration chain (pair i connects window[i] → window[i+1])
-        pre, pair_ok = [], []
-        from ..ops import imu as imu_ops
+        Kb = self._bucket(n_win, [5, 10, 15, 25, 50, 100, 200, 400])
+        if Kb is None:
+            win = win[-400:]
+            n_win = len(win)
+            Kb = 400
+        # preintegration chain (pair i connects win[i] → win[i+1])
         zero = imu_ops.init_state()
+        pre, pair_ok = [], []
         for i in range(1, n_win):
-            k = window[i]
+            k = win[i]
             p = tr.kf_preints.get(k)
-            dt_kf = float(m.kf_ts[k] - m.kf_ts[window[i - 1]])
+            dt_kf = float(m.kf_ts[k] - m.kf_ts[win[i - 1]])
             if p is not None and abs(float(p.dT) - dt_kf) < 0.02:
                 pre.append(p)
                 pair_ok.append(True)
@@ -795,34 +921,36 @@ class LocalMapper:
             pre.append(zero)
             pair_ok.append(False)
 
-        # visual observations of the window (landmarks held fixed)
-        o_kf, o_uv, o_is2, o_mp = [], [], [], []
-        for i, k in enumerate(window):
-            row = m.kf_feat_mp[k]
-            sel = np.nonzero((row >= 0) & m.kf_feat_valid[k])[0]
-            sel = sel[m.mp_valid[row[sel]]]
-            o_kf.append(np.full(len(sel), i, np.int32))
-            o_uv.append(m.kf_feat_xy[k, sel])
-            o_is2.append(m.inv_level_sigma2[m.kf_feat_octave[k, sel]])
-            o_mp.append(row[sel])
-        o_kf = np.concatenate(o_kf)
-        o_uv = np.concatenate(o_uv)
-        o_is2 = np.concatenate(o_is2)
-        o_mp = np.concatenate(o_mp)
-        Ob = self._bucket(len(o_kf), [1024, 2048, 4096, 8192, 16384])
-        if Ob is None:
-            keep = np.random.default_rng(0).permutation(len(o_kf))[:16384]
-            o_kf, o_uv, o_is2, o_mp = (o_kf[keep], o_uv[keep], o_is2[keep],
-                                       o_mp[keep])
-            Ob = 16384
+        # landmarks observed by the window
+        pts = m.local_map_points(np.asarray(win, np.int32))[: self.ba_point_cap]
+        if len(pts) < 20:
+            return None
+        kf_idx, feat_idx = m.observations_of(pts)
+        obs_mp_global = m.kf_feat_mp[kf_idx, feat_idx]
+        kf_lut = np.full(m.cfg.max_keyframes, -1, np.int32)
+        kf_lut[np.asarray(win)] = np.arange(n_win)
+        mp_lut = np.full(m.cfg.max_map_points, -1, np.int32)
+        mp_lut[pts] = np.arange(len(pts))
+        sel = (kf_lut[kf_idx] >= 0) & (mp_lut[obs_mp_global] >= 0)
+        o_kf = kf_lut[kf_idx[sel]]
+        o_mp = mp_lut[obs_mp_global[sel]]
+        o_uv = m.kf_feat_xy[kf_idx[sel], feat_idx[sel]]
+        o_ur = m.kf_feat_ur[kf_idx[sel], feat_idx[sel]]
+        o_is2 = m.inv_level_sigma2[m.kf_feat_octave[kf_idx[sel], feat_idx[sel]]]
+        o_src_kf = kf_idx[sel]
+        o_src_feat = feat_idx[sel]
+        Pb = self._bucket(len(pts), [256, 512, 1024, 2048, 4096])
+        Ob = self._bucket(len(o_kf), [1024, 2048, 4096, 8192, 16384, 32768])
+        if Pb is None or Ob is None:
+            return None
 
         def pad(a, n, fill=0):
             out = np.full((n,) + a.shape[1:], fill, a.dtype)
             out[: len(a)] = a
             return out
 
-        R0 = np.tile(np.eye(3, dtype=np.float32), (Kb, 1, 1))
-        R0[:n_win] = m.kf_R[window]
+        eye_pad = np.tile(np.eye(3, dtype=np.float32), (Kb, 1, 1))
+        eye_pad[:n_win] = m.kf_R[win]
         fixed = np.ones(Kb, bool)
         fixed[1:n_win] = False
         fixed[0] = True
@@ -830,29 +958,32 @@ class LocalMapper:
             [np.asarray(getattr(s, attr), np.float32) for s in pre]))
         cov = jnp.asarray(np.stack(
             [np.asarray(s.C, np.float32)[:9, :9] for s in pre]))
-        # visual-noise floor on the whitening (same rationale as imu_init)
-        cov = cov + jnp.diag(jnp.asarray(
-            [1e-6] * 3 + [1e-4] * 3 + [1e-5] * 3, jnp.float32))
         args = dict(
-            R0=jnp.asarray(R0),
-            t0=jnp.asarray(pad(m.kf_t[window], Kb)),
-            vels0=jnp.asarray(pad(m.kf_vel[window], Kb)),
-            bg0=jnp.asarray(tr.imu_bias_g),
-            ba0=jnp.asarray(tr.imu_bias_a),
-            pts_w=jnp.asarray(pad(m.mp_xyz[o_mp].astype(np.float32), Ob)),
-            obs_kf=jnp.asarray(pad(o_kf, Ob)),
+            R0=jnp.asarray(eye_pad),
+            t0=jnp.asarray(pad(m.kf_t[win], Kb)),
+            vels0=jnp.asarray(pad(m.kf_vel[win], Kb)),
+            bg0=jnp.asarray(pad(m.kf_bias_g[win], Kb)),
+            ba0=jnp.asarray(pad(m.kf_bias_a[win], Kb)),
+            fixed_pose=jnp.asarray(fixed),
+            pts0=jnp.asarray(pad(m.mp_xyz[pts], Pb)),
+            obs_kf=jnp.asarray(pad(o_kf.astype(np.int32), Ob)),
+            obs_mp=jnp.asarray(pad(o_mp.astype(np.int32), Ob)),
             obs_uv=jnp.asarray(pad(o_uv.astype(np.float32), Ob)),
+            obs_ur=jnp.asarray(pad(o_ur.astype(np.float32), Ob, -1.0)),
             obs_inv_sigma2=jnp.asarray(pad(o_is2.astype(np.float32), Ob, 1.0)),
             obs_valid=jnp.asarray(pad(np.ones(len(o_kf), bool), Ob, False)),
+            bf=jnp.asarray(self.bf, jnp.float32),
             dT=stack9("dT"), dR=stack9("dR"), dV=stack9("dV"), dP=stack9("dP"),
             JRg=stack9("JRg"), JVg=stack9("JVg"), JVa=stack9("JVa"),
             JPg=stack9("JPg"), JPa=stack9("JPa"),
             pre_cov=cov,
             pair_valid=jnp.asarray(np.asarray(pair_ok)),
-            cam_params=jnp.asarray(self.K),
-            fixed_pose=jnp.asarray(fixed),
+            cam_params=jnp.asarray(
+                self.inertial.cam_params if hasattr(self.inertial, "cam_params")
+                else self.K),
         )
-        return np.asarray(window, np.int64), n_win, Kb, args
+        return (np.asarray(win, np.int64), n_win, pts, o_src_kf, o_src_feat,
+                len(o_kf), args)
 
     def _run_ba(self, prob, iters):
         if self._ba_jit is None:

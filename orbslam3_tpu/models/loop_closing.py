@@ -11,14 +11,23 @@ candidate scheme) as a host driver over batched kernels:
 - Candidate gating follows the reference: exclude covisible keyframes, exclude
   recent ones, require score ≥ min score among covisible neighbors, take the
   3 best (DetectNBestCandidates).
-- Geometric verification: descriptor matching between the two keyframes'
-  map-point features (≥20, reference nBoWMatches), batched Horn Sim3 RANSAC
-  (ops/sim3, ≥15 inliers), projection confirmation (≥40 matched reprojections,
-  reference nProjMatches=50 with guided matching).
+- Geometric verification (reference DetectCommonRegionsFromBoW :730 with the
+  A.5 gates): descriptor matching between the two keyframes' map-point
+  features (≥20 nBoWMatches), batched Horn Sim3 RANSAC (≥15 nBoWInliers),
+  OptimizeSim3 GN refinement (≥20 nSim3Inliers, reference Optimizer.cc:3555),
+  guided projection matching through the refined Sim3 (≥50 nProjMatches,
+  reference SearchBySim3 src/ORBmatcher.cc:2201), re-optimization and a final
+  tight-window projection count (≥80 nProjOptMatches).
+- Temporal consistency (reference :398-551): a verified candidate is held
+  PENDING; each subsequent keyframe re-verifies the propagated Sim3 against
+  the same region (DetectAndReffineSim3FromLastKF) — correction fires only
+  after 3 consecutive successes (:427), pending resets after 2 misses (:448).
 - Correction (CorrectLoop): pose graph over all keyframes — odometry +
-  high-covisibility (≥100 shared points) + loop edges — optimized over Sim(3)
+  high-covisibility (≥100 shared points) + the new loop edge + every stored
+  loop edge from earlier corrections (:1526-1528) — optimized over Sim(3)
   (ops/posegraph), then keyframe poses and map points updated via their
-  reference keyframe's correction (the reference's spanning-tree propagation).
+  reference keyframe's correction, followed by SearchAndFuse of the loop-side
+  landmarks into the corrected current group (:1462).
 """
 from __future__ import annotations
 
@@ -27,27 +36,60 @@ import jax.numpy as jnp
 
 from ..ops import lie, matching, sim3 as sim3_ops, vocab as vocab_ops
 from ..ops import posegraph
+from ..utils.timing import StageTimer
 from .map import MapState
+
+_DEFAULT_VOCAB = None
+
+
+def _default_vocabulary() -> vocab_ops.BinaryVocabulary:
+    """The packaged 10k-word vocabulary trained on rendered-scene ORB
+    descriptors with tf-idf weights (scripts/train_vocab.py — the analogue of
+    the reference's pre-trained ORBvoc, loaded at System startup,
+    src/System.cc:96-106). Falls back to a small random-trained tree only if
+    the data file is missing (e.g. a stripped checkout)."""
+    global _DEFAULT_VOCAB
+    if _DEFAULT_VOCAB is None:
+        import os
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "vocab_synth.npz")
+        if os.path.exists(path):
+            _DEFAULT_VOCAB = vocab_ops.BinaryVocabulary.load(path)
+        else:
+            _DEFAULT_VOCAB = vocab_ops.BinaryVocabulary(k=8, levels=3).train(
+                vocab_ops.random_descriptors(20000, seed=1), seed=1)
+    return _DEFAULT_VOCAB
 
 
 class LoopCloser:
     def __init__(self, map_state: MapState, K: np.ndarray, wh,
                  vocab: vocab_ops.BinaryVocabulary | None = None,
                  fix_scale: bool = False, min_kfs: int = 12,
-                 exclude_recent: int = 8, seed: int = 0):
+                 exclude_recent: int = 8, seed: int = 0,
+                 cam_type: int = 0,
+                 n_bow_matches: int = 20, n_bow_inliers: int = 15,
+                 n_sim3_inliers: int = 20, n_proj_matches: int = 50,
+                 n_proj_opt_matches: int = 80, consistency_needed: int = 3):
         self.map = map_state
-        # pinhole intrinsics (fx fy cx cy); for fisheye rigs this is the
-        # model's focal block — projection checks here are near-axis
-        # approximations (exact model projection is a later refinement)
+        # full camera parameters + model (pinhole or KB8): every projection
+        # check goes through ops.camera, so fisheye rigs verify exactly
+        self.cam_type = int(cam_type)
+        self.cam_params = np.asarray(K, np.float32)
         self.K = np.asarray(K, np.float32)[:4]
         self.wh = np.asarray(wh, np.float32)
+        # reference A.5 gates (src/LoopClosing.cc:734-738)
+        self.n_bow_matches = n_bow_matches
+        self.n_bow_inliers = n_bow_inliers
+        self.n_sim3_inliers = n_sim3_inliers
+        self.n_proj_matches = n_proj_matches
+        self.n_proj_opt_matches = n_proj_opt_matches
+        self.consistency_needed = consistency_needed
         self.fix_scale = fix_scale
         self.min_kfs = min_kfs
         self.exclude_recent = exclude_recent
         self.rng = np.random.default_rng(seed)
         if vocab is None:
-            vocab = vocab_ops.BinaryVocabulary(k=8, levels=3).train(
-                vocab_ops.random_descriptors(20000, seed=1), seed=1)
+            vocab = _default_vocabulary()
         self.vocab = vocab
         self.transform = vocab.transform_fn()
         self.bow = vocab.bow_fn()
@@ -59,6 +101,17 @@ class LoopCloser:
         # (gravity-aligned, metric) map corrects with the 4DoF essential graph
         # (reference OptimizeEssentialGraph4DoF, src/LoopClosing.cc:1524-1533)
         self.is_inertial = lambda: False
+        self.timer = StageTimer()   # shared pipeline timer (system-injected)
+        # temporal-consistency state (reference mnLoopNumCoincidences &co.):
+        # a verified candidate pending confirmation by subsequent keyframes
+        self.pending = None   # {"cand","kf1","S21","count","misses"}
+        # accepted loop edges, fed into every later essential-graph solve
+        # (reference AddLoopEdge, src/LoopClosing.cc:1526-1528)
+        self.loop_edges: list[tuple[int, int]] = []
+        # landmark fuse hook (reference SearchAndFuse → ORBmatcher::Fuse);
+        # the system binds this to the mapper's projection-fuse
+        self.fuse_fn = None
+        self._guided = None   # lazy projection matcher kernel
         map_state.on_remap["loop_closer"] = self._on_map_remap
 
     def _on_map_remap(self, kf_remap: np.ndarray, mp_remap: np.ndarray):
@@ -81,6 +134,20 @@ class LoopCloser:
                 r = int(np.searchsorted(np.nonzero(kf_remap >= 0)[0],
                                         self.last_loop_kf)) - 1
             self.last_loop_kf = r
+        if self.pending is not None:
+            c = int(kf_remap[self.pending["cand"]])
+            k1 = int(kf_remap[self.pending["kf1"]])
+            if c < 0 or k1 < 0:
+                self.pending = None
+            else:
+                self.pending["cand"] = c
+                self.pending["kf1"] = k1
+        edges = []
+        for (a, b) in self.loop_edges:
+            a2, b2 = int(kf_remap[a]), int(kf_remap[b])
+            if a2 >= 0 and b2 >= 0:
+                edges.append((a2, b2))
+        self.loop_edges = edges
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, pre_correct=None,
@@ -105,15 +172,39 @@ class LoopCloser:
             if (self.last_loop_kf >= 0
                     and kf_id - self.last_loop_kf < self.exclude_recent):
                 return False
-            cands = self._detect_candidates(kf_id)
             hit = None
-            for c in cands:
-                self.stats["candidates_checked"] += 1
-                ok, S21 = self._verify_candidate(kf_id, int(c))
-                if ok:
-                    self.stats["loops_detected"] += 1
-                    hit = (int(c), S21)
-                    break
+            # temporal consistency (reference :398-551): refine the pending
+            # candidate's Sim3 against this keyframe; accept only after
+            # `consistency_needed` consecutive verifications (:427)
+            if self.pending is not None:
+                with self.timer.stage("12.lc_sim3_verify"):
+                    ok_ref, S21n = self._refine_pending(kf_id)
+                if ok_ref:
+                    self.pending["count"] += 1
+                    self.pending["misses"] = 0
+                    self.pending["kf1"] = kf_id
+                    self.pending["S21"] = S21n
+                    if self.pending["count"] >= self.consistency_needed:
+                        self.stats["loops_detected"] += 1
+                        hit = (self.pending["cand"], S21n)
+                else:
+                    self.pending["misses"] += 1
+                    if self.pending["misses"] >= 2:   # reference :448
+                        self.pending = None
+            if hit is None and self.pending is None:
+                with self.timer.stage("11.lc_detect"):
+                    cands = self._detect_candidates(kf_id)
+                for c in cands:
+                    self.stats["candidates_checked"] += 1
+                    with self.timer.stage("12.lc_sim3_verify"):
+                        ok, S21 = self._verify_candidate(kf_id, int(c))
+                    if ok:
+                        self.pending = {"cand": int(c), "kf1": kf_id,
+                                        "S21": S21, "count": 1, "misses": 0}
+                        if self.pending["count"] >= self.consistency_needed:
+                            self.stats["loops_detected"] += 1
+                            hit = (int(c), S21)
+                        break
         if hit is None:
             return False
         if pre_correct is not None:
@@ -124,9 +215,14 @@ class LoopCloser:
                     # pools compacted between detection and correction: the
                     # candidate ids are stale — drop (re-detected next KF)
                     return False
-                self._correct_loop(kf_id, hit[0], hit[1])
+                with self.timer.stage("13.lc_correct"):
+                    self._correct_loop(kf_id, hit[0], hit[1])
+                    # persistent loop edge (reference AddLoopEdge :1526-1528)
+                    self.loop_edges.append((int(kf_id), int(hit[0])))
+                    self._search_and_fuse(kf_id, hit[0])
             self.stats["loops_corrected"] += 1
             self.last_loop_kf = kf_id
+            self.pending = None
         finally:
             if post_correct is not None:
                 post_correct()
@@ -243,22 +339,25 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _verify_candidate(self, kf1: int, kf2: int, map1=None, map2=None):
-        """BoW-style match + Sim3 RANSAC + projection confirmation
-        (reference DetectCommonRegionsFromBoW src/LoopClosing.cc:730).
-        map1/map2 default to this closer's map; passing a different map2
-        verifies a cross-map (Atlas merge) candidate."""
+        """Full geometric verification (reference DetectCommonRegionsFromBoW
+        src/LoopClosing.cc:730): BoW-style match → Sim3 RANSAC → OptimizeSim3
+        → guided projection (SearchBySim3-equivalent) → re-optimize → final
+        tight projection count, with the reference A.5 gates. map1/map2
+        default to this closer's map; passing a different map2 verifies a
+        cross-map (Atlas merge) candidate."""
+        from ..ops import camera as cam_ops
         m = map1 if map1 is not None else self.map
         m2 = map2 if map2 is not None else self.map
         has1 = m.kf_feat_valid[kf1] & (m.kf_feat_mp[kf1] >= 0)
         has2 = m2.kf_feat_valid[kf2] & (m2.kf_feat_mp[kf2] >= 0)
-        if has1.sum() < 20 or has2.sum() < 20:
+        if has1.sum() < self.n_bow_matches or has2.sum() < self.n_bow_matches:
             return False, None
         idx, best, ok = matching.search_by_descriptor(
             jnp.asarray(m.kf_feat_desc[kf1]), jnp.asarray(has1),
             jnp.asarray(m2.kf_feat_desc[kf2]), jnp.asarray(has2),
             max_dist=matching.TH_LOW, ratio=0.9)
         okn = np.asarray(ok)
-        if okn.sum() < 20:   # nBoWMatches (reference 20)
+        if okn.sum() < self.n_bow_matches:   # nBoWMatches (reference 20)
             return False, None
         f1 = np.nonzero(okn)[0]
         f2 = np.asarray(idx)[f1]
@@ -267,7 +366,7 @@ class LoopCloser:
         sel = m.mp_valid[mp1] & m2.mp_valid[mp2]
         f1, f2, mp1, mp2 = f1[sel], f2[sel], mp1[sel], mp2[sel]
         n = len(mp1)
-        if n < 15:
+        if n < self.n_bow_inliers:
             return False, None
         # degenerate guard: a same-map "loop" whose matches are mostly the
         # SAME landmarks carries no closure information (its Sim3 is a no-op)
@@ -283,47 +382,204 @@ class LoopCloser:
             jnp.asarray(x1.astype(np.float32)), jnp.asarray(x2.astype(np.float32)),
             jnp.ones(n, bool), jnp.asarray(rand),
             jnp.asarray(9.21 * sig1, jnp.float32), jnp.asarray(9.21 * sig2, jnp.float32),
-            jnp.asarray(self.K), fix_scale=self.fix_scale, min_inliers=15)
+            jnp.asarray(self.cam_params), fix_scale=self.fix_scale,
+            min_inliers=self.n_bow_inliers, cam_type=self.cam_type)
         if not bool(res.success):
             return False, None
-        S21 = (float(res.s), np.asarray(res.R), np.asarray(res.t))
-
-        # projection confirmation: map kf2's local points into kf1 via S21⁻¹
-        nproj = self._count_projected_matches(kf1, kf2, S21, map1=m, map2=m2)
-        if nproj < 40:   # reference nProjMatches=50 with guided search
+        # OptimizeSim3 on the matched pairs (reference Optimizer.cc:3555)
+        opt = sim3_ops.optimize_sim3(
+            jnp.asarray(x1.astype(np.float32)),
+            jnp.asarray(x2.astype(np.float32)),
+            jnp.asarray(m.kf_feat_xy[kf1, f1]),
+            jnp.asarray(m2.kf_feat_xy[kf2, f2]),
+            jnp.asarray((1.0 / sig1).astype(np.float32)),
+            jnp.asarray((1.0 / sig2).astype(np.float32)),
+            jnp.ones(n, bool), res.s, res.R, res.t,
+            jnp.asarray(self.cam_params), fix_scale=self.fix_scale,
+            cam_type=self.cam_type)
+        if int(opt.n_inliers) < self.n_sim3_inliers:   # nSim3Inliers (20)
             return False, None
-        return True, S21
+        S21 = (float(opt.s), np.asarray(opt.R), np.asarray(opt.t))
+        if not np.isfinite(S21[0]) or not np.isfinite(S21[1]).all():
+            return False, None
+        # guided projection through the refined Sim3 (SearchBySim3 analogue)
+        n_guided, g_mp2, g_feat1 = self._guided_projection(
+            kf1, kf2, S21, map1=m, map2=m2, radius=8.0)
+        if n_guided < self.n_proj_matches:   # nProjMatches (reference 50)
+            return False, None
+        # re-optimize on the extended pair set, then a tight recount
+        S21b = self._optimize_pairs(kf1, kf2, S21, g_mp2, g_feat1, m, m2)
+        if S21b is None:
+            return False, None
+        n_final, _, _ = self._guided_projection(
+            kf1, kf2, S21b, map1=m, map2=m2, radius=3.0)
+        if n_final < self.n_proj_opt_matches:   # nProjOptMatches (80)
+            return False, None
+        return True, S21b
 
-    def _count_projected_matches(self, kf1: int, kf2: int, S21,
-                                 map1=None, map2=None) -> int:
+    # ------------------------------------------------------------------
+    def _guided_matcher(self):
+        if self._guided is None:
+            from . import kernels
+            self._guided = kernels.projection_matcher(
+                self.cam_type, self.map.cfg.n_levels, self.map.cfg.scale)
+        return self._guided
+
+    def _guided_projection(self, kf1: int, kf2: int, S21, map1=None,
+                           map2=None, radius: float = 8.0, cap: int = 2048):
+        """Project the candidate-side local landmarks into kf1 through S21⁻¹
+        and descriptor-match within a window (reference SearchBySim3 /
+        FindMatchesByProjection, src/ORBmatcher.cc:2201, src/LoopClosing.cc:1177).
+        Returns (n_matches, matched mp2 ids, matched kf1 feature indices)."""
         m = map1 if map1 is not None else self.map
         m2 = map2 if map2 is not None else self.map
         s, R, t = S21
         locals2 = m2.local_map_points(np.concatenate(
             [[kf2], m2.best_covisible(kf2, 5, min_weight=15)]).astype(np.int32))
+        locals2 = locals2[:cap]
         if len(locals2) == 0:
-            return 0
-        # world → kf2 cam → (S21⁻¹) → kf1 cam
+            return 0, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        n = len(locals2)
+        pad = cap - n
+        # candidate points into kf1's CAMERA frame (S21⁻¹ of their cam2 pos);
+        # the matcher then runs with an identity frame pose
         xc2 = m2.mp_xyz[locals2] @ m2.kf_R[kf2].T + m2.kf_t[kf2]
         xc1 = (xc2 - t) @ R / s
-        z = xc1[:, 2]
-        ok = z > 0.1
-        fx, fy, cx, cy = self.K
-        u = fx * xc1[:, 0] / np.maximum(z, 1e-6) + cx
-        v = fy * xc1[:, 1] / np.maximum(z, 1e-6) + cy
-        ok &= (u >= 0) & (u < self.wh[0]) & (v >= 0) & (v < self.wh[1])
-        if ok.sum() < 10:
-            return 0
-        # descriptor match against kf1 features within a window
-        dist = np.asarray(matching.hamming_matrix(
-            jnp.asarray(m2.mp_desc[locals2]), jnp.asarray(m.kf_feat_desc[kf1])))
-        du = np.abs(u[:, None] - m.kf_feat_xy[kf1][None, :, 0])
-        dv = np.abs(v[:, None] - m.kf_feat_xy[kf1][None, :, 1])
-        win = (du <= 8.0) & (dv <= 8.0)
-        mask = ok[:, None] & win & m.kf_feat_valid[kf1][None, :]
-        d = np.where(mask, dist, 10000)
-        bd = d.min(axis=1)
-        return int((bd <= matching.TH_HIGH).sum())
+        n2_cam = m2.mp_normal[locals2] @ m2.kf_R[kf2].T   # world→cam2 rotation
+        n1 = n2_cam @ R                                    # cam2→cam1 rotation
+        def pk(a, fill=0.0):
+            if pad:
+                return np.concatenate(
+                    [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+            return a
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        idx, ok, uv, lvl, frustum = self._guided_matcher()(
+            jnp.asarray(pk(xc1.astype(np.float32))),
+            jnp.asarray(pk(m2.mp_desc[locals2])),
+            jnp.asarray(pk(n1.astype(np.float32))),
+            jnp.asarray(pk((m2.mp_min_dist[locals2] / s).astype(np.float32))),
+            jnp.asarray(pk((m2.mp_max_dist[locals2] / s).astype(np.float32), 1.0)),
+            jnp.asarray(valid),
+            jnp.asarray(np.eye(3, dtype=np.float32)),
+            jnp.asarray(np.zeros(3, np.float32)),
+            jnp.asarray(self.cam_params),
+            jnp.asarray(m.kf_feat_xy[kf1]),
+            jnp.asarray(m.kf_feat_desc[kf1]),
+            jnp.asarray(m.kf_feat_octave[kf1]),
+            jnp.asarray(m.kf_feat_valid[kf1]),
+            jnp.asarray(self.wh),
+            jnp.asarray(radius, jnp.float32),
+            jnp.asarray(1.0, jnp.float32),       # no ratio test (reference)
+            jnp.asarray(matching.TH_HIGH, jnp.int32),
+            jnp.asarray(-1.0, jnp.float32))      # no view-cos gate
+        okn = np.asarray(ok)[:n]
+        src_i = np.nonzero(okn)[0]
+        return (len(src_i), locals2[src_i].astype(np.int64),
+                np.asarray(idx)[:n][src_i].astype(np.int64))
+
+    def _optimize_pairs(self, kf1: int, kf2: int, S21, g_mp2, g_feat1,
+                        m, m2, cap: int = 512):
+        """OptimizeSim3 on guided-match pairs: kf1 features with map points
+        matched to candidate-side landmarks (reference second OptimizeSim3
+        after SearchBySim3)."""
+        mp1 = m.kf_feat_mp[kf1][g_feat1]
+        sel = (mp1 >= 0)
+        sel[sel] &= m.mp_valid[mp1[sel]]
+        if sel.sum() < 10:
+            return S21   # keep the previous estimate
+        f1 = g_feat1[sel][:cap]
+        mp1 = m.kf_feat_mp[kf1][f1]
+        mp2 = g_mp2[sel][:cap]
+        x1 = m.mp_xyz[mp1] @ m.kf_R[kf1].T + m.kf_t[kf1]
+        x2 = m2.mp_xyz[mp2] @ m2.kf_R[kf2].T + m2.kf_t[kf2]
+        uv1 = m.kf_feat_xy[kf1, f1]
+        sig1 = m.level_sigma2[m.kf_feat_octave[kf1, f1]]
+        # uv2: observation of mp2 in kf2, when it exists (reference adds e21
+        # only then, src/Optimizer.cc:3670 area)
+        row2 = m2.kf_feat_mp[kf2]
+        lut2 = np.full(m2.cfg.max_map_points, -1, np.int64)
+        obs_feats = np.nonzero(row2 >= 0)[0]
+        lut2[row2[obs_feats]] = obs_feats
+        f2 = lut2[mp2]
+        has2 = f2 >= 0
+        uv2 = np.zeros((len(mp2), 2), np.float32)
+        uv2[has2] = m2.kf_feat_xy[kf2, f2[has2]]
+        sig2 = np.ones(len(mp2), np.float32)
+        sig2[has2] = m2.level_sigma2[m2.kf_feat_octave[kf2, f2[has2]]]
+        s, R, t = S21
+        opt = sim3_ops.optimize_sim3(
+            jnp.asarray(x1.astype(np.float32)),
+            jnp.asarray(x2.astype(np.float32)),
+            jnp.asarray(uv1.astype(np.float32)), jnp.asarray(uv2),
+            jnp.asarray((1.0 / sig1).astype(np.float32)),
+            jnp.asarray((1.0 / sig2).astype(np.float32)),
+            jnp.ones(len(mp1), bool),
+            jnp.asarray(s, jnp.float32), jnp.asarray(R, jnp.float32),
+            jnp.asarray(t, jnp.float32),
+            jnp.asarray(self.cam_params),
+            valid21=jnp.asarray(has2),
+            fix_scale=self.fix_scale, cam_type=self.cam_type)
+        sN = float(opt.s)
+        RN = np.asarray(opt.R)
+        tN = np.asarray(opt.t)
+        if not (np.isfinite(sN) and np.isfinite(RN).all()
+                and np.isfinite(tN).all() and 0.01 < sN < 100.0):
+            return None
+        # the re-optimization refines an already-verified similarity: a large
+        # scale jump means the solve left the basin — reject it
+        if abs(np.log(max(sN, 1e-9) / max(s, 1e-9))) > 0.7:
+            return None
+        return (sN, RN, tN)
+
+    def _refine_pending(self, kf_new: int):
+        """Temporal re-verification of the pending candidate against a new
+        keyframe (reference DetectAndReffineSim3FromLastKF
+        src/LoopClosing.cc:649: propagate the Sim3 by odometry, guided-project
+        (≥30), OptimizeSim3 (>50), tight reprojection count (≥100))."""
+        m = self.map
+        p = self.pending
+        kf_prev, cand = p["kf1"], p["cand"]
+        if not (m.kf_valid[kf_new] and m.kf_valid[kf_prev]
+                and m.kf_valid[cand]):
+            return False, None
+        s, R, t = p["S21"]
+        # S21' = S21 ∘ T_prev_new (points in the new KF's camera frame)
+        R_rel = m.kf_R[kf_prev] @ m.kf_R[kf_new].T
+        t_rel = m.kf_t[kf_prev] - R_rel @ m.kf_t[kf_new]
+        S21g = (s, (R @ R_rel).astype(np.float32),
+                (s * (R @ t_rel) + t).astype(np.float32))
+        n_guided, g_mp2, g_feat1 = self._guided_projection(
+            kf_new, cand, S21g, radius=8.0)
+        if n_guided < 30:                      # reference nProjMatches=30
+            return False, None
+        S21b = self._optimize_pairs(kf_new, cand, S21g, g_mp2, g_feat1, m, m)
+        if S21b is None:
+            return False, None
+        n_final, _, _ = self._guided_projection(kf_new, cand, S21b, radius=3.0)
+        if n_final < min(100, self.n_proj_opt_matches):  # nProjMatchesRep=100
+            return False, None
+        return True, S21b
+
+    def _search_and_fuse(self, kf1: int, kf2: int):
+        """Fuse the loop-side landmarks into the corrected current covisible
+        group (reference SearchAndFuse src/LoopClosing.cc:1462 →
+        ORBmatcher::Fuse :2051): after the pose-graph correction both sides
+        live in one consistent frame, so duplicated landmarks project onto
+        the same features and merge."""
+        if self.fuse_fn is None:
+            return
+        m = self.map
+        loop_mps = m.local_map_points(np.concatenate(
+            [[kf2], m.best_covisible(kf2, 5, min_weight=15)]).astype(np.int32))
+        if len(loop_mps) == 0:
+            return
+        group1 = [int(kf1)] + [int(g) for g in
+                               m.best_covisible(kf1, 10, min_weight=15)]
+        for k in group1:
+            self.fuse_fn(loop_mps, k)
+        fused = m.kf_feat_mp[kf1]
+        m.refresh_map_points(np.unique(fused[fused >= 0]))
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf1: int, kf2: int, S21):
@@ -360,6 +616,11 @@ class LoopCloser:
             for b in np.nonzero(row >= 100)[0]:
                 if b > a:
                     add_edge(int(a), int(b), w=1.0)
+        # loop edges from earlier corrections (reference :1526-1528: stored
+        # edges enter every later essential-graph solve; their measured
+        # relative comes from the already-corrected poses)
+        for (a, b) in self.loop_edges:
+            add_edge(int(a), int(b), w=5.0)
         # the loop edge with the MEASURED Sim3: S_12 = S21⁻¹ relates nodes
         # S_kf1 ∘ S_kf2⁻¹
         s21, R21, t21 = S21

@@ -38,6 +38,10 @@ class SlamSystem:
         if self.map_cfg.n_features != cap:
             self.map_cfg.n_features = cap
         from .atlas import Atlas
+        from ..utils.timing import StageTimer
+        # one pipeline-wide stage timer (reference REGISTER_TIMES,
+        # include/Config.h:4; PrintTimeStats at shutdown src/System.cc:450-452)
+        self.timer = StageTimer()
         self.atlas = Atlas(self.map_cfg)
         self._K = np.asarray(K, np.float32)
         self._wh = wh
@@ -65,8 +69,10 @@ class SlamSystem:
     def _bind_map(self, m):
         """(Re)bind mapper/loop-closer/tracker to the active atlas map."""
         self.tracker.map = m
+        self.tracker.timer = self.timer
         self.mapper = LocalMapper(m, self._K, self.orb_cfg, wh=self._wh,
                                   cam_type=self.cam_type)
+        self.mapper.timer = self.timer
         self.mapper.bf = self._bf
         self.mapper.preserve_temporal_chain = getattr(
             self.tracker, "imu_enabled", False)
@@ -76,7 +82,14 @@ class SlamSystem:
         if self._enable_lc:
             from .loop_closing import LoopCloser
             self.loop_closer = LoopCloser(m, self._K, self._wh,
-                                          fix_scale=self._bf > 0)
+                                          fix_scale=self._bf > 0,
+                                          cam_type=self.cam_type)
+            self.loop_closer.timer = self.timer
+            # SearchAndFuse hook (reference src/LoopClosing.cc:1462 uses
+            # ORBmatcher::Fuse — same kernel as the mapper's fuse)
+            self.loop_closer.fuse_fn = (
+                lambda mp_ids, kf: self.mapper._fuse_into(
+                    np.asarray(mp_ids), int(kf), 4096))
             self.loop_closer.is_inertial = (
                 lambda: getattr(self.tracker, "imu_initialized", False))
             # BoW inverted-file relocalization candidates (reference
@@ -85,6 +98,7 @@ class SlamSystem:
                 self.loop_closer.detect_relocalization_candidates)
 
         self.mapper.on_poses_corrected = self._on_world_corrected
+        self.mapper.on_bad_imu = self._on_bad_imu
         if self.runtime is not None:
             m.on_remap["runtime"] = (
                 lambda kf_remap, mp_remap, _m=m:
@@ -96,8 +110,9 @@ class SlamSystem:
                 # queue push, src/LocalMapping.cc:342)
                 self.runtime.insert_keyframe(kf_id, initial)
                 return
-            # sync (or the bootstrap BA, which tracking needs immediately)
-            self.mapper.process_keyframe(kf_id, initial=initial)
+            # sync (or the bootstrap BA, which tracking needs immediately);
+            # the mapper may compact the pools — use the remapped id
+            kf_id = self.mapper.process_keyframe(kf_id, initial=initial)
             if self.loop_closer is not None and not initial:
                 if self.loop_closer.process_keyframe(kf_id):
                     # loop corrected → full BA (reference RunGlobalBundleAdjustment
@@ -107,6 +122,26 @@ class SlamSystem:
                 self._check_map_merge(kf_id)
 
         self.tracker.on_new_keyframe = on_kf
+
+    def _on_bad_imu(self):
+        """Insufficient motion after IMU init (reference mbBadImu,
+        src/LocalMapping.cc:164-172): the inertial estimates are unusable —
+        reset the active map rather than diverge (src/Tracking.cc:1805).
+        Runs in the mapper's context, so the reset is inline (calling
+        reset_active_map's wait_idle from the mapper thread would deadlock);
+        stale queued keyframes are dropped by the map-identity check."""
+        from .map import MapState
+        tr = self.tracker
+        tr.imu_initialized = False
+        tr.viba1_done = False
+        tr.viba2_done = False
+        tr.velocity_w = None
+        tr.freeze_trajectory(mark_lost=True)
+        cur = self.atlas.current
+        idx = self.atlas.current_idx
+        self.atlas.maps[idx] = MapState(self.map_cfg, map_id=cur.map_id)
+        self._bind_map(self.atlas.maps[idx])
+        tr.reset_for_new_map(self.atlas.maps[idx])
 
     def _on_world_corrected(self, R_rel, t_rel):
         """After a propagated background GBA: shift the tracker's live frame by
@@ -129,12 +164,25 @@ class SlamSystem:
             return True
         return self.runtime.wait_idle(timeout)
 
-    def shutdown(self, timeout: float = 300.0):
+    def shutdown(self, timeout: float = 300.0, print_times: bool = True):
         """Join the mapper/loop/GBA threads (reference System::Shutdown
-        src/System.cc:421-453)."""
+        src/System.cc:421-453) and print the per-stage timing table (the
+        reference's PrintTimeStats, src/System.cc:450-452)."""
         if self.runtime is not None:
             self.runtime.shutdown(timeout)
             self.runtime = None
+        if print_times and self.timer.samples:
+            from ..utils import verbose
+            if verbose.get_verbosity() >= verbose.NORMAL:
+                self.timer.print_stats()
+
+    def print_time_stats(self, file=None):
+        """Reference Tracking::PrintTimeStats (src/Tracking.cc:268)."""
+        self.timer.print_stats(file=file)
+
+    def save_time_stats(self, path: str):
+        """Reference ExecTimeMean.txt (README.md:212-213)."""
+        self.timer.save(path)
 
     def _on_tracking_lost(self):
         """Sustained loss: spawn a fresh sub-map (reference CreateMapInAtlas)
@@ -424,4 +472,5 @@ class SlamSystem:
         }
         if self.loop_closer is not None:
             out.update(self.loop_closer.stats)
+        out["stage_times"] = self.timer.stats()
         return out

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..ops import features as feat_ops
 from ..ops import lie
+from ..utils.timing import StageTimer
 from . import kernels
 from .frame import Frame, build_frame
 from .map import MapConfig, MapState, locked_current
@@ -151,6 +152,10 @@ class Tracker:
         self.imu_bias_g = np.zeros(3, np.float32)
         self.imu_bias_a = np.zeros(3, np.float32)
         self.velocity_w: np.ndarray | None = None   # body velocity in world
+        # frame-to-frame marginal prior (reference ConstraintPoseImu,
+        # src/Optimizer.cc:4956-5070): 9x9 information on the last frame's
+        # [δθ, δp, δv]; None ⇒ anchor the previous state rigidly
+        self.pose_prior_H: np.ndarray | None = None
         self.kf_preints: dict = {}       # kf_id -> PreintState since previous KF
         self.preint_since_kf = None
         self.frame_preint = None
@@ -185,6 +190,9 @@ class Tracker:
 
         sf2 = self.map.level_sigma2
         self.inv_sigma2 = self.map.inv_level_sigma2
+        # per-stage timing (reference REGISTER_TIMES taxonomy, SURVEY 5.1);
+        # the system replaces this with its shared pipeline timer
+        self.timer = StageTimer()
         self.map.on_remap["tracker"] = self._on_map_remap
 
     # ------------------------------------------------------------------
@@ -453,6 +461,7 @@ class Tracker:
         self.imu_bias_g = np.asarray(res.bg, np.float32)
         self.imu_bias_a = np.asarray(res.ba, np.float32)
         self.velocity = None  # const-velocity model invalid across rescale
+        self.pose_prior_H = None   # marginal prior frame changed under it
         if not self.imu_initialized:
             self.imu_init_ts = float(m.kf_ts[kfs[-1]])
         self.imu_initialized = True
@@ -476,6 +485,7 @@ class Tracker:
             self.preint_since_kf = None
             self.velocity = None
             self.velocity_w = None
+            self.pose_prior_H = None
             self.last_frame = None
 
     def process_frame(self, img: np.ndarray, ts: float) -> dict:
@@ -483,17 +493,20 @@ class Tracker:
         fid = self.n_frames
         self.n_frames += 1
         if self.imu_enabled and self.last_frame is not None:
-            self.frame_preint = self._preintegrate_frame(self.last_frame.ts, ts)
-            self._accumulate_preint(self.frame_preint)
-        feats = self.extract(jnp.asarray(img))
-        frame = build_frame(fid, ts, feats, self.K, self.D)
+            with self.timer.stage("0.imu_preintegration"):
+                self.frame_preint = self._preintegrate_frame(self.last_frame.ts, ts)
+                self._accumulate_preint(self.frame_preint)
+        with self.timer.stage("1.orb_extraction"):
+            feats = self.extract(jnp.asarray(img))
+            frame = build_frame(fid, ts, feats, self.K, self.D)
 
         with locked_current(self):
             if self.state == TrackState.NOT_INITIALIZED:
                 ok = self._monocular_init(frame)
                 info = {"state": self.state.name, "init": ok}
             else:
-                ok = self._track(frame)
+                with self.timer.stage("3.track_total"):
+                    ok = self._track(frame)
                 info = {"state": self.state.name,
                         "inliers": frame.n_matched() if ok else 0}
 
@@ -514,10 +527,12 @@ class Tracker:
         if self.imu_enabled and self.last_frame is not None:
             self.frame_preint = self._preintegrate_frame(self.last_frame.ts, ts)
             self._accumulate_preint(self.frame_preint)
-        fl = self.extract(jnp.asarray(img_l))
-        fr = self.extract(jnp.asarray(img_r))
+        with self.timer.stage("1.orb_extraction"):
+            fl = self.extract(jnp.asarray(img_l))
+            fr = self.extract(jnp.asarray(img_r))
         frame = build_frame(fid, ts, fl, self.K, self.D)
         fr_frame = build_frame(fid, ts, fr, self.K, self.D)
+        _t_stereo = self.timer.stage("2.stereo_match"); _t_stereo.__enter__()
         ur, depth, ok = stereo_ops.stereo_match(
             jnp.asarray(frame.xy), jnp.asarray(frame.desc),
             jnp.asarray(frame.octave), jnp.asarray(frame.valid),
@@ -536,13 +551,15 @@ class Tracker:
         okn = okn & (disp > 0.1)
         frame.ur = np.where(okn, urn, -1.0).astype(np.float32)
         frame.depth = np.where(okn, self.bf / np.maximum(disp, 1e-6), -1.0).astype(np.float32)
+        _t_stereo.__exit__(None, None, None)
 
         with locked_current(self):
             if self.state == TrackState.NOT_INITIALIZED:
                 done = self._stereo_init(frame)
                 info = {"state": self.state.name, "init": done}
             else:
-                done = self._track(frame)
+                with self.timer.stage("3.track_total"):
+                    done = self._track(frame)
                 info = {"state": self.state.name,
                         "inliers": frame.n_matched() if done else 0}
             self._log_trajectory(frame, tracked=done)
@@ -851,13 +868,14 @@ class Tracker:
         self.current_frame = frame
         ok = False
         if self.state == TrackState.OK:
-            if (self.imu_initialized
-                    and self._predict_pose_imu(frame)):
-                ok = self._track_with_prediction(frame)
-            if not ok and self.velocity is not None and self.last_frame is not None:
-                ok = self._track_motion_model(frame)
-            if not ok:
-                ok = self._track_reference_kf(frame)
+            with self.timer.stage("3a.pose_prediction"):
+                if (self.imu_initialized
+                        and self._predict_pose_imu(frame)):
+                    ok = self._track_with_prediction(frame)
+                if not ok and self.velocity is not None and self.last_frame is not None:
+                    ok = self._track_motion_model(frame)
+                if not ok:
+                    ok = self._track_reference_kf(frame)
         else:
             if (self.state == TrackState.RECENTLY_LOST and self.imu_initialized
                     and self.lost_ts is not None
@@ -876,7 +894,8 @@ class Tracker:
                     ok = self.try_cross_map_reloc(frame)
 
         if ok:
-            ok = self._track_local_map(frame)
+            with self.timer.stage("3b.track_local_map"):
+                ok = self._track_local_map(frame)
 
         if ok:
             self.state = TrackState.OK
@@ -906,11 +925,16 @@ class Tracker:
                 self.velocity = (Rv, tv)
             else:
                 self.velocity = None
-            if not self.only_tracking and self._need_new_keyframe(frame):
-                self._create_new_keyframe(frame)
+            with self.timer.stage("4.new_kf_decision"):
+                need_kf = (not self.only_tracking
+                           and self._need_new_keyframe(frame))
+            if need_kf:
+                with self.timer.stage("4b.new_kf_creation"):
+                    self._create_new_keyframe(frame)
             self.consecutive_lost = 0
         else:
             self.velocity = None
+            self.pose_prior_H = None
             if self.state == TrackState.OK:
                 self.lost_ts = frame.ts
             if self.map.n_kf > 10:
@@ -942,6 +966,7 @@ class Tracker:
         self.ref_kf = int(new_map.valid_kf_ids()[-1]) if new_map.n_kf else -1
         self.kf_preints = {}
         self.preint_since_kf = None
+        self.pose_prior_H = None
 
     def _predict_pose(self, frame: Frame):
         """Motion-model prediction with anchored translation for slow motion.
@@ -1095,9 +1120,17 @@ class Tracker:
         dR_c, dV_c, dP_c = imu_ops.corrected_delta(
             pre, jnp.asarray(self.imu_bias_g), jnp.asarray(self.imu_bias_a))
         if not hasattr(self, "_pi_jit"):
-            self._pi_jit = jax.jit(functools.partial(
-                vi_ops.pose_inertial_optimize, cam_type=self.cam_type))
-        res = self._pi_jit(
+            self._pi_jit = {}
+        use_prior = self.pose_prior_H is not None
+        if use_prior not in self._pi_jit:
+            if use_prior:
+                self._pi_jit[True] = jax.jit(
+                    lambda *a, prior_H: vi_ops.pose_inertial_optimize(
+                        *a, cam_type=self.cam_type, prior_H=prior_H))
+            else:
+                self._pi_jit[False] = jax.jit(functools.partial(
+                    vi_ops.pose_inertial_optimize, cam_type=self.cam_type))
+        args = (
             jnp.asarray(frame.R), jnp.asarray(frame.t),
             jnp.asarray(self.velocity_w),
             jnp.asarray(lf.R.T), jnp.asarray(-lf.R.T @ lf.t),
@@ -1108,13 +1141,26 @@ class Tracker:
             jnp.asarray(pts), jnp.asarray(frame.xy),
             jnp.asarray(inv_s2, jnp.float32),
             jnp.asarray(matched & frame.valid), jnp.asarray(self.cam_params))
+        if use_prior:
+            res = self._pi_jit[True](
+                *args, prior_H=jnp.asarray(self.pose_prior_H, jnp.float32))
+        else:
+            res = self._pi_jit[False](*args)
         Rn = np.asarray(res.R)
         tn = np.asarray(res.t)
         if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
+            self.pose_prior_H = None
             return -1
         frame.R = Rn
         frame.t = tn
         self.velocity_w = np.asarray(res.v, np.float32)
+        # carry the marginalized information to the next frame (reference
+        # builds mpcpi = new ConstraintPoseImu from the marginal Hessian)
+        Hm = np.asarray(res.H_marg)
+        if np.isfinite(Hm).all():
+            self.pose_prior_H = Hm.astype(np.float32)
+        else:
+            self.pose_prior_H = None
         inl = np.asarray(res.inlier)
         frame.feat_mp[matched & ~inl] = -1
         return int(inl.sum())
@@ -1265,8 +1311,23 @@ class Tracker:
                     jnp.asarray(self.inv_sigma2[frame.octave[matched]], jnp.float32),
                     focal=float(self.K[0]))
                 if bool(res.success):
-                    frame.R = np.asarray(res.R)
-                    frame.t = np.asarray(res.t)
+                    # ML refinement on the RANSAC inliers (reference
+                    # MLPnPsolver's covariance-weighted bearing GN,
+                    # src/MLPnPsolver.cpp; camera-model-free — exact for
+                    # fisheye relocalization too)
+                    Rr, tr_ = pnp_ops.mlpnp_refine(
+                        jnp.asarray(xw.astype(np.float32)), jnp.asarray(rays),
+                        jnp.asarray((self.inv_sigma2[frame.octave[matched]]
+                                     * float(self.K[0]) ** 2).astype(np.float32)),
+                        res.inliers, res.R, res.t)
+                    Rr = np.asarray(Rr)
+                    tr_ = np.asarray(tr_)
+                    if np.isfinite(Rr).all() and np.isfinite(tr_).all():
+                        frame.R = Rr
+                        frame.t = tr_
+                    else:
+                        frame.R = np.asarray(res.R)
+                        frame.t = np.asarray(res.t)
             inl = self._optimize_frame_pose(frame, in_map=m)
             if inl >= self.p.min_local_inliers:
                 self.ref_kf = k
@@ -1413,6 +1474,10 @@ class Tracker:
         if self.imu_enabled and self.preint_since_kf is not None:
             self.kf_preints[k] = self.preint_since_kf
             self.preint_since_kf = None
+        # after a keyframe the mapper re-optimizes the local window: the
+        # frame-to-frame marginal prior is stale (reference switches to
+        # PoseInertialOptimizationLastKeyFrame there)
+        self.pose_prior_H = None
         if self.imu_enabled and self.velocity_w is not None:
             m.kf_vel[k] = self.velocity_w
             m.kf_bias_g[k] = self.imu_bias_g

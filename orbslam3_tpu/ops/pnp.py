@@ -201,3 +201,67 @@ def pnp_ransac(
         success=counts[best] >= min_inliers,
         R=R[best], t=t[best], inliers=inl[best], n_inliers=counts[best],
     )
+
+
+def mlpnp_refine(
+    xw: jax.Array, rays: jax.Array, weights: jax.Array, valid: jax.Array,
+    R0: jax.Array, t0: jax.Array, iters: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Maximum-likelihood PnP refinement on bearing vectors (the reference
+    MLPnPsolver's Gauss-Newton stage, src/MLPnPsolver.cpp — MLPnP, Urban et
+    al. 2016): minimize the covariance-weighted residual of the observed
+    bearing against the predicted direction, parametrized in each bearing's
+    tangent plane (the 2-dof nullspace {r, s} of the observed ray). Being
+    projection-model-free it works for any camera whose unprojection produced
+    the rays (fisheye included — the reason the reference replaced EPnP with
+    MLPnP for relocalization, src/Tracking.cc:4178).
+
+    weights: per-ray scalar information (≈ inv_sigma2 of the pixel scaled by
+    focal² — the reference propagates pixel covariance through the
+    unprojection Jacobian; a scalar suffices for isotropic pixel noise).
+    Returns (R, t) — world→camera.
+    """
+    dtype = xw.dtype
+    v = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)   # (N,3)
+    # tangent-plane (nullspace) basis per observed bearing
+    tmp = jnp.where(jnp.abs(v[:, 2:3]) < 0.9,
+                    jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype), v.shape),
+                    jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype), v.shape))
+    r_b = jnp.cross(v, tmp)
+    r_b = r_b / jnp.linalg.norm(r_b, axis=-1, keepdims=True)
+    s_b = jnp.cross(v, r_b)
+    w = weights * valid.astype(dtype)
+
+    def residuals(p, R, t):
+        from . import lie
+        dR, dt = lie.se3_exp(p[:6][None])
+        Rn, tn = lie.se3_compose(dR[0], dt[0], R, t)
+        xc = xw @ Rn.T + tn
+        nrm = jnp.linalg.norm(xc, axis=-1, keepdims=True)
+        pred = xc / jnp.maximum(nrm, 1e-9)
+        rr = jnp.stack([jnp.sum(r_b * pred, -1), jnp.sum(s_b * pred, -1)], -1)
+        return rr * jnp.sqrt(w)[:, None]
+
+    def step(carry, _):
+        from . import lie
+        R, t, lam = carry
+        p0 = jnp.zeros(6, dtype)
+        r = residuals(p0, R, t).reshape(-1)
+        J = jax.jacfwd(lambda p: residuals(p, R, t).reshape(-1))(p0)
+        H = J.T @ J
+        H = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
+        d = -jnp.linalg.solve(H, J.T @ r)
+        d = jnp.where(jnp.isfinite(d), d, 0.0)
+        dR, dt = lie.se3_exp(d[None])
+        Rn, tn = lie.se3_compose(dR[0], dt[0], R, t)
+        better = (jnp.sum(residuals(p0, Rn, tn) ** 2)
+                  < jnp.sum(r * r))
+        R_o = jnp.where(better, Rn, R)
+        t_o = jnp.where(better, tn, t)
+        lam_o = jnp.where(better, lam * 0.5, lam * 4.0)
+        return (R_o, t_o, lam_o), None
+
+    (R, t, _), _ = jax.lax.scan(
+        step, (R0.astype(dtype), t0.astype(dtype), jnp.asarray(1e-3, dtype)),
+        None, length=iters)
+    return R, t

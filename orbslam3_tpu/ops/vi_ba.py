@@ -151,6 +151,8 @@ class PoseInertialResult(NamedTuple):
     v: jax.Array
     inlier: jax.Array
     n_inliers: jax.Array
+    H_marg: jax.Array = None      # (9,9) marginal information on (pose,vel)
+    prev_moved: jax.Array = None  # (9,) increment applied to the prev state
 
 
 def pose_inertial_optimize(
@@ -158,6 +160,7 @@ def pose_inertial_optimize(
     bg, ba, dT, dR, dV, dP, JRg, JVg, JVa, JPg, JPa, pre_cov,
     pts_w, obs_uv, obs_inv_sigma2, obs_valid, cam_params,
     cam_type: int = 0, iters: int = 12, chi2_th: float = 5.991,
+    prior_H=None,
 ) -> PoseInertialResult:
     """Frame-rate visual-inertial pose optimization (reference
     PoseInertialOptimizationLastFrame src/Optimizer.cc:7785: current frame
@@ -166,10 +169,14 @@ def pose_inertial_optimize(
     {12, 7.5, 5.991, 5.991}). Biases stay at the tracker's estimates (the
     reference's bias random-walk edges barely move them at frame rate).
 
-    The previous state (R1_wb body→world? no — body pose R_wb (3,3), p_wb,
-    v1) is FIXED; the reference's marginalized ConstraintPoseImu prior is
-    approximated by fixing it (the prior's information would let it move
-    slightly — a refinement once frame-to-frame marginalization lands).
+    The previous state (body pose R1_wb (3,3), p1_wb, v1) enters as a
+    VARIABLE held by the marginal prior ``prior_H`` (9x9 information on its
+    [δθ, δp, δv]) — the reference's ConstraintPoseImu carried between frames
+    (src/Optimizer.cc:4956-5070 Marginalize, :7785 edge). With prior_H=None
+    the previous state is fixed (the round-1 approximation, equivalent to an
+    infinite prior). The returned ``H_marg`` is the CURRENT state's marginal
+    information after Schur-eliminating the previous state — the next
+    frame's prior.
     """
     dtype = t0.dtype
     huber = jnp.sqrt(jnp.asarray(chi2_th, dtype))
@@ -184,13 +191,23 @@ def pose_inertial_optimize(
     dV_c = dV
     dP_c = dP
 
+    use_prior = prior_H is not None
+    n_state = 18 if use_prior else 9
+
     def unpack(p):
         dRp, dtp = lie.se3_exp(p[:6])
         R, t = lie.se3_compose(dRp, dtp, R0, t0)
-        return R, t, p[6:9]
+        if use_prior:
+            # previous BODY state perturbed on its tangent: R1' = R1 Exp(δθ)
+            R1n = R1_wb @ lie.so3_exp(p[9:12])
+            p1n = p1_wb + p[12:15]
+            v1n = v1 + p[15:18]
+        else:
+            R1n, p1n, v1n = R1_wb, p1_wb, v1
+        return R, t, p[6:9], R1n, p1n, v1n
 
     def residuals(p, w_in):
-        R, t, v = unpack(p)
+        R, t, v, R1n, p1n, v1n = unpack(p)
         xc = jnp.einsum("ij,oj->oi", R, pts_w) + t
         pos = xc[..., 2] > 1e-3
         xc = jnp.concatenate([xc[..., :2],
@@ -202,18 +219,25 @@ def pose_inertial_optimize(
                                  huber / jnp.sqrt(chi + 1e-12), 1.0))
         rv = rv * (w_h * w_in * obs_valid.astype(dtype)
                    * pos.astype(dtype))[:, None]
-        # inertial edge to the fixed previous state
+        # inertial edge to the previous state
         R_wb = R.T
         p_wb = -R.T @ t
         tt = dT
-        er = lie.so3_log(dR_c.T @ (R1_wb.T @ R_wb))
-        ev = R1_wb.T @ (v - v1 - g * tt) - dV_c
-        ep = R1_wb.T @ (p_wb - p1_wb - v1 * tt - 0.5 * g * tt * tt) - dP_c
+        er = lie.so3_log(dR_c.T @ (R1n.T @ R_wb))
+        ev = R1n.T @ (v - v1n - g * tt) - dV_c
+        ep = R1n.T @ (p_wb - p1n - v1n * tt - 0.5 * g * tt * tt) - dP_c
         ri = Linv @ jnp.concatenate([er, ev, ep])
-        return jnp.concatenate([rv.reshape(-1), ri])
+        out = [rv.reshape(-1), ri]
+        if use_prior:
+            # ConstraintPoseImu: whitened prior residual on the previous
+            # state's deviation from its marginal estimate
+            Lp = jnp.linalg.cholesky(
+                prior_H + 1e-6 * jnp.eye(9, dtype=dtype))
+            out.append(Lp.T @ p[9:18])
+        return jnp.concatenate(out)
 
     def chi2_of(p):
-        R, t, v = unpack(p)
+        R, t, v, _, _, _ = unpack(p)
         xc = jnp.einsum("ij,oj->oi", R, pts_w) + t
         pos = xc[..., 2] > 1e-3
         xc = jnp.concatenate([xc[..., :2],
@@ -224,7 +248,8 @@ def pose_inertial_optimize(
         return jnp.where(pos, chi, 1e9)
 
     schedule = jnp.asarray([12.0, 7.5, chi2_th, chi2_th], dtype)
-    p = jnp.concatenate([jnp.zeros(6, dtype), v0])
+    p = jnp.concatenate([jnp.zeros(6, dtype), v0,
+                         jnp.zeros(n_state - 9, dtype)])
     inlier = jnp.ones(pts_w.shape[0], bool)
 
     def round_body(i, carry):
@@ -235,7 +260,7 @@ def pose_inertial_optimize(
             pp, lam = carry2
             r = residuals(pp, w_in)
             J = jax.jacfwd(lambda q: residuals(q, w_in))(pp)
-            H = J.T @ J + lam * jnp.eye(9, dtype=dtype)
+            H = J.T @ J + lam * jnp.eye(n_state, dtype=dtype)
             b = -J.T @ r
             dp = jnp.linalg.solve(H, b)
             p_new = pp + dp
@@ -251,7 +276,303 @@ def pose_inertial_optimize(
 
     p, inlier = jax.lax.fori_loop(0, 4, round_body, (p, inlier))
     inlier = inlier & obs_valid
-    R, t, v = unpack(p)
+    R, t, v, _, _, _ = unpack(p)
+    # marginal information of the CURRENT state (pose+vel): Schur-eliminate
+    # the previous state from the final Hessian (reference Marginalize,
+    # src/Optimizer.cc:4956-5070)
+    w_fin = (inlier & obs_valid).astype(dtype)
+    Jf = jax.jacfwd(lambda q: residuals(q, w_fin))(p)
+    Hf = Jf.T @ Jf
+    if use_prior:
+        Hcc = Hf[:9, :9]
+        Hcp = Hf[:9, 9:]
+        Hpp = Hf[9:, 9:] + 1e-6 * jnp.eye(9, dtype=dtype)
+        H_marg = Hcc - Hcp @ jnp.linalg.solve(Hpp, Hcp.T)
+        prev_moved = p[9:18]
+    else:
+        H_marg = Hf[:9, :9]
+        prev_moved = jnp.zeros(9, dtype)
     return PoseInertialResult(
         R=R, t=t, v=v, inlier=inlier,
-        n_inliers=jnp.sum(inlier.astype(jnp.int32)))
+        n_inliers=jnp.sum(inlier.astype(jnp.int32)),
+        H_marg=H_marg, prev_moved=prev_moved)
+
+
+class VIJointResult(NamedTuple):
+    R: jax.Array        # (K,3,3) world→cam
+    t: jax.Array        # (K,3)
+    vels: jax.Array     # (K,3)
+    bg: jax.Array       # (K,3)
+    ba: jax.Array       # (K,3)
+    pts: jax.Array      # (P,3)
+    obs_inlier: jax.Array
+    cost: jax.Array
+
+
+def vi_joint_ba(
+    R0, t0, vels0, bg0, ba0, fixed_pose,
+    pts0, obs_kf, obs_mp, obs_uv, obs_ur, obs_inv_sigma2, obs_valid, bf,
+    dT, dR, dV, dP, JRg, JVg, JVa, JPg, JPa, pre_cov, pair_valid,
+    cam_params, cam_type: int = 0, iters: int = 10,
+    prior_g: float = 0.0, prior_a: float = 0.0,
+    rw_gyro: float = 1e4, rw_acc: float = 1e3,
+    fix_landmarks: bool = False, fix_vel_bias_of_fixed: bool = True,
+) -> VIJointResult:
+    """Joint landmark + pose/velocity/bias bundle adjustment.
+
+    The reference's LocalInertialBA (src/Optimizer.cc:4314) and FullInertialBA
+    (:495) as ONE Schur solve: landmarks (P,3) are eliminated against a dense
+    per-keyframe state [δpose(6), vel(3), bg(3), ba(3)] (15K total — the MXU
+    solves the reduced system in one dense Cholesky). Residuals:
+
+    - visual mono/stereo rows (reference EdgeMono/EdgeStereo, G2oTypes.h:346)
+      with Huber √5.991/√7.815 weights;
+    - 9-dim preintegration rows between consecutive keyframes whitened by the
+      preintegration covariance (EdgeInertial, :500), bias-corrected to first
+      order via the stored Jacobians;
+    - bias random-walk rows between consecutive keyframes (EdgeGyroRW/
+      EdgeAccRW, :640) with information rw_*/dT;
+    - optional bias priors on the FIRST keyframe (EdgePriorAcc/Gyro — the
+      reference's bInit path at IMU initialization, :646-715).
+
+    Pair i connects keyframe i → i+1 (pair_valid masks broken chains).
+    fixed_pose keyframes keep their pose; with ``fix_vel_bias_of_fixed`` they
+    also keep velocity+biases (the reference's LocalInertialBA window
+    boundary fixes all four vertices, src/Optimizer.cc:4375), while the
+    FullInertialBA-at-init use fixes only the pose and estimates the rest
+    (:495 — biases held by priors instead; freezing a zero bias would pin
+    the whole random-walk chain to the wrong value).
+    """
+    K = R0.shape[0]
+    P = pts0.shape[0]
+    dtype = t0.dtype
+    hub_m = jnp.sqrt(jnp.asarray(5.991, dtype))
+    hub_s = jnp.sqrt(jnp.asarray(7.815, dtype))
+    hub_i = jnp.sqrt(jnp.asarray(16.92, dtype))   # 9-dof inertial (A.3)
+    g_w = jnp.asarray([0.0, 0.0, -imu_ops.GRAVITY], dtype)
+    NS = 15                                        # per-KF state width
+
+    C = pre_cov + jnp.diag(jnp.asarray(
+        [1e-8] * 3 + [1e-6] * 3 + [1e-7] * 3, dtype))
+    L = jnp.linalg.cholesky(C)
+    Linv = jax.vmap(lambda Lk: jax.scipy.linalg.solve_triangular(
+        Lk, jnp.eye(9, dtype=dtype), lower=True))(L)
+
+    has_ur = obs_ur >= 0
+    w_stereo_row = jnp.concatenate(
+        [jnp.ones((obs_uv.shape[0], 2), dtype), has_ur[:, None].astype(dtype)],
+        axis=-1)
+
+    def visual_linearize(R, t, pts, w_mask):
+        Rk = R[obs_kf]
+        tk = t[obs_kf]
+        xw = pts[obs_mp]
+        xc = jnp.einsum("oij,oj->oi", Rk, xw) + tk
+        pos = xc[..., 2] > 1e-3
+        xc = jnp.concatenate([xc[..., :2],
+                              jnp.maximum(xc[..., 2:3], 1e-2)], axis=-1)
+        pred = cam_ops.project(cam_type, cam_params, xc)
+        Jproj = cam_ops.project_jac(cam_type, cam_params, xc)       # (O,2,3)
+        # left-increment se3: d xc/d xi = [ -[xc]x | I ]
+        Jse3 = jnp.concatenate([-lie.hat(xc), jnp.broadcast_to(
+            jnp.eye(3, dtype=dtype), xc.shape[:-1] + (3, 3))], axis=-1)
+        r_uv = obs_uv - pred
+        z = xc[..., 2]
+        bf_ = jnp.asarray(bf, dtype)
+        ur_pred = pred[..., 0] - bf_ / z
+        r_ur = jnp.where(has_ur, obs_ur - ur_pred, 0.0)
+        Jur = Jproj[:, 0, :] + jnp.stack(
+            [jnp.zeros_like(z), jnp.zeros_like(z), bf_ / (z * z)], axis=-1)
+        r = jnp.concatenate([r_uv, r_ur[:, None]], axis=-1)          # (O,3)
+        Jxc = jnp.concatenate([Jproj, Jur[:, None, :]], axis=1)      # (O,3,3)
+        Jpose = jnp.einsum("oij,ojk->oik", Jxc, Jse3)                # (O,3,6)
+        Jpt = jnp.einsum("oij,ojk->oik", Jxc, Rk)
+        chi2 = jnp.sum(r * r * w_stereo_row, axis=-1) * obs_inv_sigma2
+        chi2 = jnp.where(pos, chi2, 1e9)
+        hub = jnp.where(has_ur, hub_s, hub_m)
+        rn = jnp.sqrt(chi2 + 1e-12)
+        w_h = jnp.where(rn <= hub, 1.0, hub / rn)
+        w = w_mask * pos.astype(dtype) * obs_inv_sigma2 * w_h
+        w_row = w[:, None] * w_stereo_row
+        return chi2, w_row, Jpose, Jpt, r
+
+    i1 = jnp.arange(K - 1)
+    i2 = i1 + 1
+    rw_w = jnp.concatenate([
+        jnp.full((K - 1, 3), rw_gyro, dtype) / jnp.maximum(dT, 1e-3)[:, None],
+        jnp.full((K - 1, 3), rw_acc, dtype) / jnp.maximum(dT, 1e-3)[:, None],
+    ], axis=-1)
+
+    def inertial_residual_pair(k, d30):
+        """Whitened 9-dim preintegration residual for pair k with a 30-dim
+        perturbation (state1 | state2) around the current linearization."""
+        def split(d15, R, t, v, bg, ba):
+            dRp, dtp = lie.se3_exp(d15[:6])
+            Rn, tn = lie.se3_compose(dRp, dtp, R, t)
+            return Rn, tn, v + d15[6:9], bg + d15[9:12], ba + d15[12:15]
+        R1, t1, v1, bg1, ba1 = split(d30[:15], cur_R[i1[k]], cur_t[i1[k]],
+                                     cur_v[i1[k]], cur_bg[i1[k]], cur_ba[i1[k]])
+        R2, t2, v2, bg2, ba2 = split(d30[15:], cur_R[i2[k]], cur_t[i2[k]],
+                                     cur_v[i2[k]], cur_bg[i2[k]], cur_ba[i2[k]])
+        R1b = R1.T
+        p1 = -R1.T @ t1
+        R2b = R2.T
+        p2 = -R2.T @ t2
+        dbg = bg1 - bg0[i1[k]]
+        dba = ba1 - ba0[i1[k]]
+        dR_c = dR[k] @ lie.so3_exp(JRg[k] @ dbg)
+        dV_c = dV[k] + JVg[k] @ dbg + JVa[k] @ dba
+        dP_c = dP[k] + JPg[k] @ dbg + JPa[k] @ dba
+        tt = dT[k]
+        er = lie.so3_log(dR_c.T @ (R1b.T @ R2b))
+        ev = R1b.T @ (v2 - v1 - g_w * tt) - dV_c
+        ep = R1b.T @ (p2 - p1 - v1 * tt - 0.5 * g_w * tt * tt) - dP_c
+        ri = Linv[k] @ jnp.concatenate([er, ev, ep])
+        # bias random walk (6)
+        rw = (jnp.concatenate([bg2 - bg1, ba2 - ba1])
+              * jnp.sqrt(rw_w[k]))
+        return jnp.concatenate([ri, rw]) * pair_valid[k].astype(dtype)
+
+    def build_inertial(w_scale):
+        z30 = jnp.zeros(30, dtype)
+        res = jax.vmap(lambda k: inertial_residual_pair(k, z30))(i1)   # (K-1,15)
+        Jp = jax.vmap(lambda k: jax.jacfwd(
+            lambda d: inertial_residual_pair(k, d))(z30))(i1)          # (K-1,15,30)
+        # robust (Huber) on the 9-dim preintegration part
+        chi_i = jnp.sum(res[:, :9] ** 2, axis=-1)
+        rn = jnp.sqrt(chi_i + 1e-12)
+        w_h = jnp.where(rn <= hub_i, 1.0, hub_i / rn)
+        w_rows = jnp.concatenate([
+            jnp.broadcast_to(w_h[:, None], (K - 1, 9)),
+            jnp.ones((K - 1, 6), dtype)], axis=-1) * w_scale
+        return res, Jp, w_rows
+
+    def assemble_and_solve(R, t, v, bg, ba, pts, w_mask, lam):
+        chi2, w_row, Jpose, Jpt, r = visual_linearize(R, t, pts, w_mask)
+        # landmark blocks
+        All = jnp.einsum("oik,oi,oil->okl", Jpt, w_row, Jpt)
+        Hll = jnp.zeros((P, 3, 3), dtype).at[obs_mp].add(All)
+        bl = jnp.zeros((P, 3), dtype).at[obs_mp].add(
+            jnp.einsum("oik,oi,oi->ok", Jpt, w_row, r))
+        Bo = jnp.einsum("oik,oi,oil->okl", Jpose, w_row, Jpt)
+        B = jnp.zeros((P, K, 6, 3), dtype).at[obs_mp, obs_kf].add(Bo)
+        diagl = jnp.einsum("pii->pi", Hll)
+        Hll_d = Hll + jax.vmap(jnp.diag)(lam * diagl + 1e-6)
+        Hll_inv = jnp.linalg.inv(Hll_d)
+        # visual pose blocks + Schur reduction onto poses
+        App = jnp.einsum("oik,oi,oil->okl", Jpose, w_row, Jpose)
+        Hpp = jnp.zeros((K, 6, 6), dtype).at[obs_kf].add(App)
+        bp = jnp.zeros((K, 6), dtype).at[obs_kf].add(
+            jnp.einsum("oik,oi,oi->ok", Jpose, w_row, r))
+        Cm = jnp.einsum("pkil,plm->pkim", B, Hll_inv)
+        S2 = jnp.einsum("pkim,pqjm->kiqj", Cm, B)
+        bs = bp - jnp.einsum("pkim,pm->ki", Cm, bl)
+
+        # dense joint system over (K*15)
+        N = K * NS
+        A = jnp.zeros((N, N), dtype)
+        b = jnp.zeros(N, dtype)
+        pose_idx = (jnp.arange(K)[:, None] * NS + jnp.arange(6)[None, :])
+        Svis = -S2
+        Svis = Svis.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)
+        A = A.at[pose_idx.reshape(-1)[:, None],
+                 pose_idx.reshape(-1)[None, :]].add(
+            Svis.transpose(0, 1, 2, 3).reshape(K * 6, K * 6))
+        b = b.at[pose_idx.reshape(-1)].add(bs.reshape(-1))
+
+        # inertial rows
+        nonlocal cur_R, cur_t, cur_v, cur_bg, cur_ba
+        cur_R, cur_t, cur_v, cur_bg, cur_ba = R, t, v, bg, ba
+        res_i, Jp, w_rows = build_inertial(1.0)
+        rows_idx = jnp.concatenate(
+            [i1[:, None] * NS + jnp.arange(NS)[None, :],
+             i2[:, None] * NS + jnp.arange(NS)[None, :]], axis=-1)  # (K-1,30)
+        JtWJ = jnp.einsum("kri,kr,krj->kij", Jp, w_rows, Jp)        # (K-1,30,30)
+        JtWr = jnp.einsum("kri,kr,kr->ki", Jp, w_rows, res_i)
+        A = A.at[rows_idx[:, :, None], rows_idx[:, None, :]].add(JtWJ)
+        b = b.at[rows_idx].add(-JtWr)
+
+        # bias priors on the first keyframe (reference bInit)
+        if prior_g > 0.0 or prior_a > 0.0:
+            pg = jnp.asarray(prior_g, dtype)
+            pa = jnp.asarray(prior_a, dtype)
+            bidx = jnp.arange(9, 15)
+            pw = jnp.concatenate([jnp.full(3, pg, dtype),
+                                  jnp.full(3, pa, dtype)])
+            A = A.at[bidx, bidx].add(pw)
+            b = b.at[bidx].add(-pw * jnp.concatenate(
+                [bg[0] - bg0[0], ba[0] - ba0[0]]))
+
+        # damping + fixed-state gauge
+        dA = jnp.diag(A)
+        A = A + jnp.diag(lam * dA + 1e-6)
+        if fix_vel_bias_of_fixed:
+            free = jnp.repeat(~fixed_pose, NS)
+        else:
+            per = jnp.concatenate([jnp.zeros(6, bool), jnp.ones(9, bool)])
+            free = (jnp.repeat(~fixed_pose, NS)
+                    | jnp.tile(per, K))
+        A = jnp.where(free[:, None] & free[None, :], A, 0.0)
+        A = A + jnp.diag(jnp.where(free, 0.0, 1.0))
+        bfree = jnp.where(free, b, 0.0)
+        dx = jnp.linalg.solve(A, bfree).reshape(K, NS)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+
+        dRp, dtp = lie.se3_exp(dx[:, :6])
+        Rn, tn = lie.se3_compose(dRp, dtp, R, t)
+        vn = v + dx[:, 6:9]
+        bgn = bg + dx[:, 9:12]
+        ban = ba + dx[:, 12:15]
+        # landmark back-substitution
+        dxp = dx[:, :6]
+        if fix_landmarks:
+            ptsn = pts
+        else:
+            dl = jnp.einsum("pij,pj->pi", Hll_inv,
+                            bl - jnp.einsum("pkim,ki->pm", B, dxp))
+            has_obs = jnp.zeros((P,), dtype).at[obs_mp].add(w_mask) > 0
+            ptsn = jnp.where(has_obs[:, None], pts + dl, pts)
+        return Rn, tn, vn, bgn, ban, ptsn
+
+    def total_cost(R, t, v, bg, ba, pts, w_mask):
+        chi2, w_row, _, _, _ = visual_linearize(R, t, pts, w_mask)
+        d2 = 5.991
+        cv = jnp.where(chi2 <= d2, chi2,
+                       2.0 * jnp.sqrt(d2) * jnp.sqrt(chi2 + 1e-12) - d2)
+        cv = jnp.sum(cv * w_mask)
+        nonlocal cur_R, cur_t, cur_v, cur_bg, cur_ba
+        cur_R, cur_t, cur_v, cur_bg, cur_ba = R, t, v, bg, ba
+        res_i, _, w_rows = build_inertial(1.0)
+        ci = jnp.sum(res_i * res_i * w_rows)
+        return cv + ci
+
+    cur_R, cur_t, cur_v, cur_bg, cur_ba = R0, t0, vels0, bg0, ba0
+    w_mask = obs_valid.astype(dtype)
+
+    def body(_, carry):
+        R, t, v, bg, ba, pts, lam = carry
+        out = assemble_and_solve(R, t, v, bg, ba, pts, w_mask, lam)
+        Rn, tn, vn, bgn, ban, ptsn = out
+        Rn = jnp.where(fixed_pose[:, None, None], R, Rn)
+        tn = jnp.where(fixed_pose[:, None], t, tn)
+        old = total_cost(R, t, v, bg, ba, pts, w_mask)
+        new = total_cost(Rn, tn, vn, bgn, ban, ptsn, w_mask)
+        good = new < old
+        R = jnp.where(good, Rn, R)
+        t = jnp.where(good, tn, t)
+        v = jnp.where(good, vn, v)
+        bg = jnp.where(good, bgn, bg)
+        ba = jnp.where(good, ban, ba)
+        pts = jnp.where(good, ptsn, pts)
+        lam = jnp.where(good, lam * 0.5, lam * 4.0)
+        return R, t, v, bg, ba, pts, lam
+
+    R, t, v, bg, ba, pts, _ = jax.lax.fori_loop(
+        0, iters, body,
+        (R0, t0, vels0, bg0, ba0, pts0, jnp.asarray(1e-4, dtype)))
+    chi2, _, _, _, _ = visual_linearize(R, t, pts, w_mask)
+    inlier = (chi2 < jnp.where(has_ur, 7.815, 5.991)) & obs_valid
+    cur_R, cur_t, cur_v, cur_bg, cur_ba = R, t, v, bg, ba
+    return VIJointResult(R=R, t=t, vels=v, bg=bg, ba=ba, pts=pts,
+                         obs_inlier=inlier,
+                         cost=total_cost(R, t, v, bg, ba, pts, w_mask))

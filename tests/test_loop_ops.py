@@ -174,3 +174,41 @@ def test_pose_graph_4dof_preserves_gravity_and_scale():
     # loop closed
     assert float(costs[-1]) < 1e-4, float(costs[-1])
     assert np.abs(t - gt_t).max() < 0.05, np.abs(t - gt_t).max()
+
+
+def test_optimize_sim3_converges():
+    """GN Sim3 refinement (reference Optimizer::OptimizeSim3
+    src/Optimizer.cc:3555) recovers a known similarity from reprojections."""
+    import jax.numpy as jnp
+    from orbslam3_tpu.ops import lie, sim3 as sim3_ops
+    rng = np.random.default_rng(0)
+    N = 120
+    K = jnp.asarray([458.0, 458.0, 376.0, 240.0], jnp.float32)
+    x1 = rng.uniform([-3, -2, 4], [3, 2, 10], (N, 3)).astype(np.float32)
+    Rt = np.asarray(lie.so3_exp(jnp.asarray([0.01, 0.03, -0.02], jnp.float32)))
+    st, tt = 1.05, np.array([0.2, -0.1, 0.15], np.float32)
+    x2 = st * (x1 @ Rt.T) + tt
+
+    def proj(p):
+        return np.stack([458 * p[:, 0] / p[:, 2] + 376,
+                         458 * p[:, 1] / p[:, 2] + 240], -1).astype(np.float32)
+
+    uv1 = proj(x1) + rng.normal(0, 0.3, (N, 2))
+    uv2 = proj(x2) + rng.normal(0, 0.3, (N, 2))
+    res = sim3_ops.optimize_sim3(
+        jnp.asarray(x1), jnp.asarray(x2.astype(np.float32)),
+        jnp.asarray(uv1.astype(np.float32)), jnp.asarray(uv2.astype(np.float32)),
+        jnp.ones(N, jnp.float32), jnp.ones(N, jnp.float32), jnp.ones(N, bool),
+        jnp.asarray(1.0, jnp.float32), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), K)
+    assert abs(float(res.s) - st) < 0.005
+    assert int(res.n_inliers) >= N - 2
+    assert np.abs(np.asarray(res.R) - Rt).max() < 2e-3
+    # fixed-scale mode pins s
+    res2 = sim3_ops.optimize_sim3(
+        jnp.asarray(x1), jnp.asarray(x2.astype(np.float32)),
+        jnp.asarray(uv1.astype(np.float32)), jnp.asarray(uv2.astype(np.float32)),
+        jnp.ones(N, jnp.float32), jnp.ones(N, jnp.float32), jnp.ones(N, bool),
+        jnp.asarray(1.0, jnp.float32), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), K, fix_scale=True)
+    assert abs(float(res2.s) - 1.0) < 1e-5

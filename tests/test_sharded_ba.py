@@ -83,3 +83,61 @@ def test_sharded_ba_runs_and_reduces_error():
             e += np.sum((uv[obs_mp[sel]] - obs_uv[sel]) ** 2)
         return e
     assert total_reproj(Rn, tn, ptsn) < 0.2 * total_reproj(R0, t0, pts0)
+
+
+def test_sharded_full_lm_matches_single_device_256kf():
+    """The full distributed LM schedule (damping accept/reject + two-phase
+    outlier gate) at reference problem scale (256 KFs) must match the
+    single-device ops/ba.local_ba solve (VERDICT r1 #9)."""
+    import functools
+    from orbslam3_tpu.ops import ba as ba_ops
+
+    n_dev = len(jax.devices())
+    n_kf, n_pts = 256, 1024
+    R_gt, t_gt, pts_gt, obs_kf, obs_mp, obs_uv = make_problem(
+        n_kf=n_kf, n_pts=n_pts, seed=3)
+    rng = np.random.default_rng(4)
+    R0 = R_gt.copy(); t0 = t_gt.copy()
+    for k in range(2, n_kf):
+        dR = np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(0, 0.01, 3).astype(np.float32))))
+        R0[k] = dR @ R_gt[k]
+        t0[k] = t_gt[k] + rng.normal(0, 0.03, 3)
+    pts0 = (pts_gt + rng.normal(0, 0.03, pts_gt.shape)).astype(np.float32)
+    fixed = np.zeros(n_kf, bool); fixed[:2] = True
+    O = len(obs_kf)
+    it1, it2 = 4, 4
+
+    # single-device reference solve
+    prob = ba_ops.BAProblem(
+        R=jnp.asarray(R0), t=jnp.asarray(t0), pts=jnp.asarray(pts0),
+        obs_kf=jnp.asarray(obs_kf), obs_mp=jnp.asarray(obs_mp),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_inv_sigma2=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool), fixed_pose=jnp.asarray(fixed),
+        obs_ur=jnp.full(O, -1.0, jnp.float32), bf=jnp.asarray(0.0, jnp.float32))
+    ref = ba_ops.local_ba(prob, jnp.asarray(K_CAM), iters1=it1, iters2=it2)
+
+    # sharded solve
+    mesh = sharded_ba.make_mesh()
+    n_pts_pad, o_per, local_mp, obs_valid_sh, outs = \
+        sharded_ba.partition_by_landmark(obs_mp, n_pts, n_dev,
+                                         {"kf": obs_kf, "uv": obs_uv})
+    pts_pad = np.zeros((n_pts_pad, 3), np.float32)
+    pts_pad[: n_pts] = pts0
+    solver = sharded_ba.make_sharded_ba_solver(mesh, n_kf,
+                                               iters1=it1, iters2=it2)
+    R, t, pts, inl = solver(
+        jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(fixed),
+        jnp.asarray(pts_pad), jnp.asarray(outs["kf"]), jnp.asarray(local_mp),
+        jnp.asarray(outs["uv"]), jnp.asarray(obs_valid_sh.astype(np.float32)),
+        jnp.asarray(K_CAM))
+
+    # both reach the ground-truth basin; solutions agree closely (identical
+    # schedules; tiny drift from summation order / damping tie-breaks)
+    err_ref = np.abs(np.asarray(ref.t) - t_gt).max()
+    err_sh = np.abs(np.asarray(t) - t_gt).max()
+    assert err_sh < 0.02, err_sh
+    assert abs(err_sh - err_ref) < 5e-3, (err_sh, err_ref)
+    assert np.abs(np.asarray(t) - np.asarray(ref.t)).max() < 1e-2
+    assert int(np.asarray(inl).sum()) > 0.9 * O

@@ -71,3 +71,82 @@ def test_vi_window_recovers_perturbed_states():
     assert v_err < 0.06, v_err
     # gyro bias observable through the rotation chain
     assert np.abs(np.asarray(res.bg) - bg_gt).max() < 2e-3, res.bg
+
+
+def test_vi_joint_ba_recovers_states_and_landmarks():
+    """Joint landmark+pose/vel/bias Schur solve (reference LocalInertialBA /
+    FullInertialBA, src/Optimizer.cc:4314/:495): perturbing poses, velocities
+    AND landmarks must all converge back — the alternating round-1 scheme
+    could not move landmarks and inertial states consistently."""
+    R_map, p_map, preints, Rwg_gt, scale, bg_gt, ba_gt, v_gt = simulate(
+        n_kf=8, scale=1.0, g_tilt=(0.0, 0.0), seed=5)
+    Kn = len(R_map)
+    R_cw_gt = np.stack([R.T for R in R_map])
+    t_cw_gt = np.stack([-R.T @ p for R, p in zip(R_map, p_map)])
+
+    rng = np.random.default_rng(1)
+    n_pts = 120
+    pts_gt = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+                       rng.uniform(5, 15, n_pts)], -1).astype(np.float32)
+    obs_kf, obs_mp, obs_uv = [], [], []
+    for k in range(Kn):
+        pc = pts_gt @ R_cw_gt[k].T + t_cw_gt[k]
+        uv = np.stack([458 * pc[:, 0] / pc[:, 2] + 376,
+                       458 * pc[:, 1] / pc[:, 2] + 240], -1)
+        uv += rng.normal(0, 0.4, uv.shape)
+        for j in range(n_pts):
+            obs_kf.append(k)
+            obs_mp.append(j)
+            obs_uv.append(uv[j])
+    O = len(obs_kf)
+
+    R0 = R_cw_gt.copy()
+    t0 = t_cw_gt.copy()
+    for k in range(1, Kn):
+        dR = np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(0, 0.01, 3).astype(np.float32))))
+        R0[k] = dR @ R_cw_gt[k]
+        t0[k] = t_cw_gt[k] + rng.normal(0, 0.03, 3)
+    vels0 = v_gt + rng.normal(0, 0.1, v_gt.shape)
+    pts0 = pts_gt + rng.normal(0, 0.05, pts_gt.shape).astype(np.float32)
+    fixed = np.zeros(Kn, bool)
+    fixed[0] = True
+
+    stack = lambda attr: jnp.asarray(
+        np.stack([np.asarray(getattr(s, attr)) for s in preints]))
+    cov = jnp.asarray(np.stack([np.asarray(s.C)[:9, :9] for s in preints]))
+
+    res = vi_ba.vi_joint_ba(
+        jnp.asarray(R0.astype(np.float32)), jnp.asarray(t0.astype(np.float32)),
+        jnp.asarray(vels0.astype(np.float32)),
+        jnp.zeros((Kn, 3), jnp.float32), jnp.zeros((Kn, 3), jnp.float32),
+        jnp.asarray(fixed),
+        jnp.asarray(pts0), jnp.asarray(obs_kf, jnp.int32),
+        jnp.asarray(obs_mp, jnp.int32),
+        jnp.asarray(np.stack(obs_uv).astype(np.float32)),
+        jnp.full(O, -1.0, jnp.float32),       # mono rows
+        jnp.ones(O, jnp.float32), jnp.ones(O, bool),
+        jnp.asarray(0.0, jnp.float32),
+        stack("dT"), stack("dR"), stack("dV"), stack("dP"),
+        stack("JRg"), stack("JVg"), stack("JVa"), stack("JPg"), stack("JPa"),
+        cov, jnp.ones(Kn - 1, bool),
+        jnp.asarray(K_CAM), iters=16,
+        # FullInertialBA-at-init configuration: first pose fixed, boundary
+        # velocity/biases free, bias priors (reference :495 bInit path)
+        prior_g=1e2, prior_a=1e3, fix_vel_bias_of_fixed=False)
+
+    t_err0 = np.abs(t0[1:] - t_cw_gt[1:]).max()
+    t_err = np.abs(np.asarray(res.t)[1:] - t_cw_gt[1:]).max()
+    assert t_err < 0.3 * t_err0, (t_err, t_err0)
+    v_err = np.abs(np.asarray(res.vels) - v_gt).max()
+    assert v_err < 0.03, v_err
+    # landmarks converge to their MAP optimum: median error at the visual
+    # noise floor (far points keep depth uncertainty — 0.4 px at z=15 with a
+    # sub-meter baseline is ~0.5 units of depth sigma; measured sub-pixel
+    # reprojections at the optimum)
+    pe = np.linalg.norm(np.asarray(res.pts) - pts_gt, axis=1)
+    assert np.median(pe) < 0.15, np.median(pe)
+    # per-KF biases near the simulated truth
+    assert np.abs(np.asarray(res.bg) - bg_gt).max() < 3e-3, res.bg
+    assert np.abs(np.asarray(res.ba) - ba_gt).max() < 0.03, res.ba
+    assert int(res.obs_inlier.sum()) > 0.95 * O
