@@ -187,3 +187,111 @@ def triangulation_matcher(cam_type: int, n_levels: int, scale: float):
         return idx, ok & tri_ok, xw, depths
 
     return fn
+
+
+@functools.lru_cache(maxsize=None)
+def fused_track_kernel(cam_type: int, n_levels: int, scale: float,
+                       pose_rounds: int = 2, pose_iters: int = 10):
+    """ONE dispatch for the per-frame visual hot path (VERDICT r1 #2: the
+    system made 6-10 separate device calls per frame — under a remote-device
+    tunnel each call pays a round trip):
+
+        match(last-frame points → features) → pose LM →
+        match(local-map points → features, at the refined pose) → pose LM →
+        final chi2 classification.
+
+    The reference runs the same cascade as separate CPU stages
+    (TrackWithMotionModel src/Tracking.cc:3173 → TrackLocalMap :3296).
+
+    Returns per-FEATURE assignments into the two candidate buffers plus the
+    refined pose, so the host writes bookkeeping once per frame.
+    """
+    from ..ops import pose_opt as pose_ops
+
+    sf = jnp.asarray([scale ** i for i in range(n_levels)], jnp.float32)
+    inv_s2_lut = 1.0 / (sf * sf)
+    log_scale = jnp.log(jnp.asarray(scale, jnp.float32))
+
+    def _match(mp_xyz, mp_desc, mp_normal, mp_mind, mp_maxd, mp_valid,
+               R, t, cam_params, feat_xy, feat_desc, feat_octave, feat_valid,
+               wh, radius, ratio, max_dist, view_cos_th):
+        xc = lie.se3_apply(R, t, mp_xyz)
+        z_ok = xc[..., 2] > 0.05
+        uv = cam_ops.project(cam_type, cam_params, xc)
+        in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < wh[0])
+                  & (uv[:, 1] >= 0) & (uv[:, 1] < wh[1]))
+        cam_center = -R.T @ t
+        d = mp_xyz - cam_center
+        dist = jnp.linalg.norm(d, axis=-1)
+        dist_ok = (dist > 0.8 * mp_mind) & (dist < 1.2 * mp_maxd)
+        view_cos = jnp.sum(d * mp_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+        lvl = jnp.ceil(jnp.log(jnp.maximum(mp_maxd, 1e-9)
+                               / jnp.maximum(dist, 1e-9)) / log_scale)
+        lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+        frustum = (mp_valid & z_ok & in_img & dist_ok
+                   & (view_cos > view_cos_th))
+        dist_m = matching.hamming_matrix(mp_desc, feat_desc)
+        mask = (frustum[:, None] & feat_valid[None, :]
+                & matching.window_mask(uv, feat_xy, radius * sf[lvl])
+                & matching.octave_mask(lvl, feat_octave, 1, 1))
+        d_big = jnp.where(mask, dist_m, matching.BIG)
+        idx = jnp.argmin(d_big, axis=1)
+        best = jnp.take_along_axis(d_big, idx[:, None], axis=1)[:, 0]
+        d2 = d_big.at[jnp.arange(d_big.shape[0]), idx].set(matching.BIG)
+        second = jnp.min(d2, axis=1)
+        ok = (best <= max_dist) & (best.astype(jnp.float32)
+                                   < ratio * second.astype(jnp.float32))
+        ok = matching.resolve_duplicates(idx, best, ok, feat_desc.shape[0])
+        return idx, ok, frustum
+
+    @jax.jit
+    def fn(R0, t0, prior_R, prior_t, prior_eps,
+           last_xyz, last_desc, last_norm, last_mind, last_maxd, last_valid,
+           loc_xyz, loc_desc, loc_norm, loc_mind, loc_maxd, loc_valid,
+           feat_xy, feat_desc, feat_octave, feat_valid, feat_ur,
+           cam_params, wh, bf,
+           motion_radius, local_radius, motion_ratio, local_ratio, th_high):
+        N = feat_xy.shape[0]
+        inv_s2 = inv_s2_lut[jnp.clip(feat_octave, 0, n_levels - 1)]
+
+        # stage 1: last-frame points at the predicted pose
+        idx1, ok1, _ = _match(last_xyz, last_desc, last_norm, last_mind,
+                              last_maxd, last_valid, R0, t0, cam_params,
+                              feat_xy, feat_desc, feat_octave, feat_valid,
+                              wh, motion_radius, motion_ratio, th_high, 0.5)
+        # per-feature: candidate index into the LAST buffer
+        a_last = jnp.full((N,), -1, jnp.int32).at[idx1].max(
+            jnp.where(ok1, jnp.arange(last_xyz.shape[0], dtype=jnp.int32), -1))
+        m1 = a_last >= 0
+        pts1 = last_xyz[jnp.maximum(a_last, 0)]
+        res1 = pose_ops.pose_optimize(
+            R0, t0, pts1, feat_xy, inv_s2, m1 & feat_valid, cam_params,
+            cam_type=cam_type, rounds=pose_rounds, iters=pose_iters,
+            obs_ur=feat_ur, bf=bf,
+            prior_R=prior_R, prior_t=prior_t, prior_eps=prior_eps)
+        a_last = jnp.where(res1.inlier & m1, a_last, -1)
+
+        # stage 2: local-map points at the refined pose (features still free)
+        idx2, ok2, frustum2 = _match(
+            loc_xyz, loc_desc, loc_norm, loc_mind, loc_maxd, loc_valid,
+            res1.R, res1.t, cam_params, feat_xy, feat_desc, feat_octave,
+            feat_valid & (a_last < 0), wh, local_radius, local_ratio,
+            th_high, 0.5)
+        a_loc = jnp.full((N,), -1, jnp.int32).at[idx2].max(
+            jnp.where(ok2, jnp.arange(loc_xyz.shape[0], dtype=jnp.int32), -1))
+        a_loc = jnp.where(a_last >= 0, -1, a_loc)
+        m2 = (a_last >= 0) | (a_loc >= 0)
+        pts2 = jnp.where((a_last >= 0)[:, None], last_xyz[jnp.maximum(a_last, 0)],
+                         loc_xyz[jnp.maximum(a_loc, 0)])
+        res2 = pose_ops.pose_optimize(
+            res1.R, res1.t, pts2, feat_xy, inv_s2, m2 & feat_valid, cam_params,
+            cam_type=cam_type, rounds=pose_rounds, iters=pose_iters,
+            obs_ur=feat_ur, bf=bf,
+            prior_R=prior_R, prior_t=prior_t, prior_eps=prior_eps)
+        a_last = jnp.where(res2.inlier, a_last, -1)
+        a_loc = jnp.where(res2.inlier, a_loc, -1)
+        n1 = jnp.sum((m1 & feat_valid).astype(jnp.int32))
+        return (res2.R, res2.t, a_last, a_loc, res2.inlier,
+                res2.n_inliers, n1, frustum2)
+
+    return fn

@@ -769,8 +769,11 @@ class LocalMapper:
             if tr.try_imu_init():
                 # the reference's InitializeIMU does not stop at the MAP
                 # estimate: it runs FullInertialBA(100) on the freshly
-                # aligned map (src/LocalMapping.cc:1720)
-                self.full_inertial_ba(kf_id, iters=16,
+                # aligned map (src/LocalMapping.cc:1720). The joint BA is
+                # ALSO the scale estimator here: measured on the synthetic
+                # VI fixture it recovers a 0.43x init-scale error to ~0.88
+                # by 30 iterations (16 was not converged)
+                self.full_inertial_ba(kf_id, iters=30,
                                       prior_g=1e2,
                                       prior_a=1e10 if self.bf <= 0 else 1e5)
             return
@@ -792,19 +795,26 @@ class LocalMapper:
                     self.stats.get("bad_imu_resets", 0) + 1)
                 self.on_bad_imu()
                 return
+        # VIBA1/VIBA2 are FullInertialBA passes with annealed bias priors
+        # (reference src/LocalMapping.cc:244-273 call InitializeIMU which
+        # lands in FullInertialBA; the round-1 inertial-only MAP refit is
+        # gone — its scale estimate attenuates toward zero under visual
+        # noise and UNDID the joint BA's scale recovery, measured 0.88→0.62)
         if not tr.viba1_done and tinit > 5.0:
-            if tr.try_imu_init(refine=True, prior_g=1.0, prior_a=1e5):
-                self.stats["viba1"] = 1
+            self.full_inertial_ba(kf_id, iters=12, prior_g=1.0, prior_a=1e5)
+            self.stats["viba1"] = 1
             tr.viba1_done = True
         elif not tr.viba2_done and tinit > 15.0:
-            if tr.try_imu_init(refine=True, prior_g=0.0, prior_a=0.0):
-                self.stats["viba2"] = 1
+            self.full_inertial_ba(kf_id, iters=12, prior_g=0.0, prior_a=0.0)
+            self.stats["viba2"] = 1
             tr.viba2_done = True
         elif (self.bf <= 0 and tr.viba2_done and m.n_kf <= 100
               and ts - max(tr.imu_init_ts + 15.0, tr.last_scale_refine_ts) > 10.0):
+            # scale-refinement windows (reference :277-288): another joint
+            # pass over the whole map
             tr.last_scale_refine_ts = ts
-            if tr.try_imu_init(refine=True, fix_bias=True):
-                self.stats["scale_refines"] = self.stats.get("scale_refines", 0) + 1
+            self.full_inertial_ba(kf_id, iters=8, prior_g=1e2, prior_a=1e5)
+            self.stats["scale_refines"] = self.stats.get("scale_refines", 0) + 1
 
     def local_inertial_ba(self, kf_id: int, iters: int = 8):
         """Local inertial BA (reference LocalInertialBA src/Optimizer.cc:4314:

@@ -561,6 +561,16 @@ class LoopCloser:
             return False, None
         return True, S21b
 
+    def _posegraph_jit(self, iters: int):
+        import functools
+        import jax
+        if not hasattr(self, "_pg_jit"):
+            self._pg_jit = {}
+        if iters not in self._pg_jit:
+            self._pg_jit[iters] = jax.jit(functools.partial(
+                posegraph.optimize_pose_graph, iters=iters))
+        return self._pg_jit[iters]
+
     def _search_and_fuse(self, kf1: int, kf2: int):
         """Fuse the loop-side landmarks into the corrected current covisible
         group (reference SearchAndFuse src/LoopClosing.cc:1462 →
@@ -640,15 +650,53 @@ class LoopCloser:
             dof = np.array([1, 1, 1, 1, 1, 1, 0], bool)
         else:
             dof = np.ones(7, bool)
-        s_n, R_n, t_n, costs = posegraph.optimize_pose_graph(
-            jnp.asarray(s0), jnp.asarray(R0), jnp.asarray(t0),
-            jnp.ones(K, bool), jnp.asarray(fixed),
-            jnp.asarray(edges_i, jnp.int32), jnp.asarray(edges_j, jnp.int32),
-            jnp.asarray(ms, jnp.float32), jnp.asarray(np.stack(mR), jnp.float32),
-            jnp.asarray(np.stack(mt), jnp.float32),
-            jnp.ones(len(ms), bool), jnp.asarray(wts, jnp.float32), iters=15,
-            dof_mask=jnp.asarray(dof))
-        s_n = np.asarray(s_n); R_n = np.asarray(R_n); t_n = np.asarray(t_n)
+        # bucket node/edge counts to a few static shapes: the solve reuses
+        # one XLA compilation across corrections instead of recompiling per
+        # (K, E) pair (unbounded compile churn in long runs); edges beyond
+        # the largest bucket drop lowest-weight-first (never the loop edges)
+        E = len(ms)
+        Kb = next((b for b in (16, 32, 64, 96, 128, 192, 256, 384, 512,
+                               1024) if K <= b), None)
+        Eb = next((b for b in (256, 512, 1024, 2048, 4096, 8192) if E <= b),
+                  8192)
+        if Kb is None:
+            return
+        edges_i = np.asarray(edges_i, np.int32)
+        edges_j = np.asarray(edges_j, np.int32)
+        ms_a = np.asarray(ms, np.float32)
+        mR_a = np.stack(mR).astype(np.float32)
+        mt_a = np.stack(mt).astype(np.float32)
+        wts_a = np.asarray(wts, np.float32)
+        if E > Eb:
+            keep = np.argsort(-wts_a)[:Eb]
+            edges_i, edges_j = edges_i[keep], edges_j[keep]
+            ms_a, mR_a, mt_a, wts_a = (ms_a[keep], mR_a[keep], mt_a[keep],
+                                       wts_a[keep])
+            E = Eb
+
+        def padn(a, n, fill=0):
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        eyeK = np.tile(np.eye(3, dtype=np.float32), (Kb, 1, 1))
+        eyeK[:K] = R0
+        eyeE = np.tile(np.eye(3, dtype=np.float32), (Eb, 1, 1))
+        eyeE[:E] = mR_a
+        s_n, R_n, t_n, costs = self._posegraph_jit(iters=15)(
+            jnp.asarray(padn(s0, Kb, 1.0)), jnp.asarray(eyeK),
+            jnp.asarray(padn(t0, Kb)),
+            jnp.asarray(padn(np.ones(K, bool), Kb, False)),
+            jnp.asarray(padn(fixed, Kb, True)),
+            jnp.asarray(padn(edges_i, Eb)), jnp.asarray(padn(edges_j, Eb)),
+            jnp.asarray(padn(ms_a, Eb, 1.0)), jnp.asarray(eyeE),
+            jnp.asarray(padn(mt_a, Eb)),
+            jnp.asarray(padn(np.ones(E, bool), Eb, False)),
+            jnp.asarray(padn(wts_a, Eb)),
+            jnp.asarray(dof))
+        s_n = np.asarray(s_n)[:K]
+        R_n = np.asarray(R_n)[:K]
+        t_n = np.asarray(t_n)[:K]
 
         # correct map points via their reference KF (reference :1318-1444):
         # x' = S_new⁻¹( S_old(x) )

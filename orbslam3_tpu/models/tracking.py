@@ -135,6 +135,11 @@ class Tracker:
             cam_type=self.cam_type, n_starts=self.p.pose_starts)
         self.proj_match = kernels.projection_matcher(
             self.cam_type, orb_cfg.n_levels, orb_cfg.scale)
+        # one-dispatch per-frame hot path (match→LM→match→LM fused; under a
+        # remote-device tunnel every extra dispatch is a round trip)
+        self.fused_track = kernels.fused_track_kernel(
+            self.cam_type, orb_cfg.n_levels, orb_cfg.scale)
+        self.use_fused_track = True
 
         # --- IMU state (visual-inertial mode; reference src/Tracking.cc IMU
         # queue :1450, PreintegrateIMU :1457, PredictStateIMU :1616) ---
@@ -867,7 +872,14 @@ class Tracker:
         # scale refinement) can remap the in-flight pose too (try_imu_init)
         self.current_frame = frame
         ok = False
-        if self.state == TrackState.OK:
+        if (self.state == TrackState.OK and self.use_fused_track
+                and not self.imu_initialized
+                and self.velocity is not None and self.last_frame is not None
+                and self.p.local_passes == 1 and self.p.pose_starts == 1):
+            with self.timer.stage("3f.fused_track"):
+                ok = self._track_fused(frame)
+        if not ok and self.state == TrackState.OK:
+            frame.feat_mp[:] = -1
             with self.timer.stage("3a.pose_prediction"):
                 if (self.imu_initialized
                         and self._predict_pose_imu(frame)):
@@ -876,7 +888,7 @@ class Tracker:
                     ok = self._track_motion_model(frame)
                 if not ok:
                     ok = self._track_reference_kf(frame)
-        else:
+        elif not ok:
             if (self.state == TrackState.RECENTLY_LOST and self.imu_initialized
                     and self.lost_ts is not None
                     and frame.ts - self.lost_ts <= self.p.time_recently_lost):
@@ -893,7 +905,7 @@ class Tracker:
                     # (reference NewDetectCommonRegions merge branch)
                     ok = self.try_cross_map_reloc(frame)
 
-        if ok:
+        if ok and not getattr(frame, "_fused_done", False):
             with self.timer.stage("3b.track_local_map"):
                 ok = self._track_local_map(frame)
 
@@ -1191,6 +1203,94 @@ class Tracker:
             return False
         inl = self._optimize_frame_pose(frame)
         return inl >= p.min_motion_inliers
+
+    def _track_fused(self, frame: Frame) -> bool:
+        """One-dispatch visual tracking (kernels.fused_track_kernel): the
+        motion-model stage and the local-map stage — two matchings and two
+        pose LMs — run as a single device call; the host does prediction,
+        candidate gathering, and one bookkeeping pass on the results.
+
+        The local-map candidate set comes from the PREVIOUS reference
+        keyframe's covisibility (one-frame lag vs the reference's
+        UpdateLocalKeyFrames — the set changes slowly); the reference
+        keyframe updates from the returned matches. Falls back (returns
+        False) to the staged cascade on thin matches."""
+        p = self.p
+        m = self.map
+        lf = self.last_frame
+        if self.ref_kf < 0 or not m.kf_valid[self.ref_kf]:
+            return False
+        self._predict_pose(frame)
+        last_mps = lf.feat_mp[lf.feat_mp >= 0]
+        ids_last = np.unique(last_mps)
+        ids_last = ids_last[m.mp_valid[ids_last]]
+        if len(ids_last) < p.min_motion_matches:
+            return False
+        kfs = np.unique(np.concatenate(
+            [[self.ref_kf], m.best_covisible(self.ref_kf, p.max_local_kfs - 1)]
+        )).astype(np.int64)
+        loc_ids = m.local_map_points(kfs)
+        loc_ids = loc_ids[~np.isin(loc_ids, ids_last)]
+
+        cap_l = self.orb_cfg.total_capacity
+        ids_last, xyz_l, desc_l, norm_l, mind_l, maxd_l, valid_l = \
+            self._gather_mps(ids_last, cap_l)
+        loc_ids, xyz_c, desc_c, norm_c, mind_c, maxd_c, valid_c = \
+            self._gather_mps(loc_ids, p.max_local_mps)
+
+        use_prior = (lf.tracked and lf.R is not None
+                     and p.pose_prior_eps > 0.0)
+        pR, pt = (lf.R, lf.t) if use_prior else (frame.R, frame.t)
+        eps = p.pose_prior_eps if use_prior else 0.0
+        (Rn, tn, a_last, a_loc, inlier, n_inl, n1, frustum) = self.fused_track(
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(pR), jnp.asarray(pt), jnp.asarray(eps, jnp.float32),
+            jnp.asarray(xyz_l), jnp.asarray(desc_l), jnp.asarray(norm_l),
+            jnp.asarray(mind_l), jnp.asarray(maxd_l), jnp.asarray(valid_l),
+            jnp.asarray(xyz_c), jnp.asarray(desc_c), jnp.asarray(norm_c),
+            jnp.asarray(mind_c), jnp.asarray(maxd_c), jnp.asarray(valid_c),
+            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
+            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
+            jnp.asarray(frame.ur), jnp.asarray(self.cam_params),
+            jnp.asarray(self.wh), jnp.asarray(self.bf, jnp.float32),
+            jnp.asarray(p.motion_radius, jnp.float32),
+            jnp.asarray(p.local_radius, jnp.float32),
+            jnp.asarray(p.motion_ratio, jnp.float32),
+            jnp.asarray(p.local_ratio, jnp.float32),
+            jnp.asarray(p.th_high, jnp.int32))
+        n1 = int(n1)
+        inl = int(n_inl)
+        if n1 < p.min_motion_matches or inl < p.min_local_inliers:
+            return False
+        Rn = np.asarray(Rn)
+        tn = np.asarray(tn)
+        if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
+            return False
+        frame.R = Rn
+        frame.t = tn
+        al = np.asarray(a_last)
+        ac = np.asarray(a_loc)
+        frame.feat_mp[:] = -1
+        sel_l = al >= 0
+        frame.feat_mp[sel_l] = ids_last[al[sel_l]]
+        sel_c = ac >= 0
+        nc = len(loc_ids)
+        sel_c &= ac < nc
+        frame.feat_mp[sel_c] = loc_ids[ac[sel_c]]
+        # found/visible counters (reference IncreaseFound/IncreaseVisible)
+        vis = np.asarray(frustum)[:nc]
+        m.mp_visible[loc_ids[vis]] += 1
+        found = frame.feat_mp[frame.feat_mp >= 0]
+        m.mp_found[found] += 1
+        m.mp_visible[found] += 1
+        # reference keyframe ← most-shared observer of the matches
+        kf_idx, _ = m.observations_of(np.unique(found))
+        if len(kf_idx):
+            counts = np.bincount(kf_idx, minlength=m.n_kf)
+            self.ref_kf = int(np.argmax(counts))
+        self.n_local_inliers = inl
+        frame._fused_done = True
+        return True
 
     def _track_with_prediction(self, frame: Frame) -> bool:
         """Track against last-frame points from an already-set predicted pose
