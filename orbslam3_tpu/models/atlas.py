@@ -86,6 +86,8 @@ class Atlas:
         # retire the merged map
         cur.kf_valid[:] = False
         cur.mp_valid[:] = False
+        cur.touch()
+        old_map.touch()
         self.current_idx = self.maps.index(old_map)
         self.merges += 1
         self.last_merge_kf_map = kf_off_ids

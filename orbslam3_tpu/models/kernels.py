@@ -189,6 +189,283 @@ def triangulation_matcher(cam_type: int, n_levels: int, scale: float):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Packed-I/O pooled kernels (round 3).
+#
+# Under the remote-TPU tunnel the cost model is: dispatch ~0.03 ms, each
+# host→device transfer ~1 ms, each device→host transfer ~5 ms (with
+# occasional multi-hundred-ms stalls). Round 2's per-frame path made ~30
+# transfers; these kernels take the map-point pool RESIDENT ON DEVICE
+# (models/device_map.py), receive only an id list + a packed pose vector,
+# and return ONE packed int32 buffer.
+# ---------------------------------------------------------------------------
+
+def _pack_bits_i32(b):
+    """(N,) bool → (ceil(N/32),) int32, bit i of word w = element 32·w+i
+    (little-endian; host unpacks with
+    np.unpackbits(buf.view(np.uint8), bitorder='little'))."""
+    n = b.shape[0]
+    pad = (-n) % 32
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros(pad, bool)])
+    w = (b.reshape(-1, 32).astype(jnp.uint32)
+         << jnp.arange(32, dtype=jnp.uint32)[None, :])
+    return jax.lax.bitcast_convert_type(jnp.sum(w, axis=1, dtype=jnp.uint32),
+                                        jnp.int32)
+
+
+def unpack_bits_host(buf_i32: "object", n: int):
+    import numpy as np
+    u8 = np.asarray(buf_i32, np.int32).view(np.uint8)
+    return np.unpackbits(u8, bitorder="little")[:n].astype(bool)
+
+
+def _bitcast_f2i(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+
+def _gather_pool(mpf, mpu, ids):
+    """Gather packed map-point rows by id (−1 ⇒ invalid)."""
+    safe = jnp.maximum(ids, 0)
+    f = mpf[safe]
+    u = mpu[safe]
+    xyz = f[:, 0:3]
+    normal = f[:, 3:6]
+    mind = f[:, 6]
+    maxd = f[:, 7]
+    desc = u[:, 0:8]
+    valid = (u[:, 8] > 0) & (ids >= 0)
+    return xyz, desc, normal, mind, maxd, valid
+
+
+@functools.lru_cache(maxsize=None)
+def fused_track_pooled(cam_type: int, n_levels: int, scale: float,
+                       cam_params: tuple, wh: tuple, bf: float,
+                       motion_radius: float, local_radius: float,
+                       motion_ratio: float, local_ratio: float,
+                       th_high: int, pose_rounds: int = 2,
+                       pose_iters: int = 10):
+    """One-dispatch per-frame visual tracking against the device-resident
+    map pool. Same cascade as :func:`fused_track_kernel` (reference
+    TrackWithMotionModel src/Tracking.cc:3173 → TrackLocalMap :3296), but:
+
+    - map-side candidates arrive as ONE id vector (first CL entries = last-
+      frame points, rest = local-map points), gathered on device;
+    - all scalars/intrinsics are compile-time constants;
+    - the result is ONE packed int32 vector:
+      [0:12]=bitcast(R,t), [12]=n1, [13]=n_inl,
+      [14:14+N]=a_last, [14+N:14+2N]=a_loc (indices into the id vector),
+      then packbits(frustum over the CC local candidates),
+      then packbits(inlier over features).
+
+    fn(pose_in (25,) f32, ids (CL+CC,) i32, mpf (P,8) f32, mpu (P,9) u32,
+       feat_xy, feat_desc, feat_octave, feat_valid, feat_ur)
+    """
+    from ..ops import pose_opt as pose_ops
+
+    sf = jnp.asarray([scale ** i for i in range(n_levels)], jnp.float32)
+    inv_s2_lut = 1.0 / (sf * sf)
+    log_scale = jnp.log(jnp.asarray(scale, jnp.float32))
+    camp = jnp.asarray(cam_params, jnp.float32)
+    whv = jnp.asarray(wh, jnp.float32)
+
+    def _match(xyz, desc, normal, mind, maxd, mvalid, R, t,
+               feat_xy, feat_desc, feat_octave, feat_valid,
+               radius, ratio, max_dist, view_cos_th):
+        xc = lie.se3_apply(R, t, xyz)
+        z_ok = xc[..., 2] > 0.05
+        uv = cam_ops.project(cam_type, camp, xc)
+        in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < whv[0])
+                  & (uv[:, 1] >= 0) & (uv[:, 1] < whv[1]))
+        cam_center = -R.T @ t
+        d = xyz - cam_center
+        dist = jnp.linalg.norm(d, axis=-1)
+        dist_ok = (dist > 0.8 * mind) & (dist < 1.2 * maxd)
+        view_cos = jnp.sum(d * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+        lvl = jnp.ceil(jnp.log(jnp.maximum(maxd, 1e-9)
+                               / jnp.maximum(dist, 1e-9)) / log_scale)
+        lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+        frustum = (mvalid & z_ok & in_img & dist_ok
+                   & (view_cos > view_cos_th))
+        dist_m = matching.hamming_matrix(desc, feat_desc)
+        mask = (frustum[:, None] & feat_valid[None, :]
+                & matching.window_mask(uv, feat_xy, radius * sf[lvl])
+                & matching.octave_mask(lvl, feat_octave, 1, 1))
+        d_big = jnp.where(mask, dist_m, matching.BIG)
+        idx = jnp.argmin(d_big, axis=1)
+        best = jnp.take_along_axis(d_big, idx[:, None], axis=1)[:, 0]
+        d2 = d_big.at[jnp.arange(d_big.shape[0]), idx].set(matching.BIG)
+        second = jnp.min(d2, axis=1)
+        ok = (best <= max_dist) & (best.astype(jnp.float32)
+                                   < ratio * second.astype(jnp.float32))
+        ok = matching.resolve_duplicates(idx, best, ok, feat_desc.shape[0])
+        return idx, ok, frustum
+
+    @functools.partial(jax.jit, static_argnames=("cl",))
+    def fn(pose_in, ids, mpf, mpu,
+           feat_xy, feat_desc, feat_octave, feat_valid, feat_ur, *, cl: int):
+        N = feat_xy.shape[0]
+        R0 = pose_in[0:9].reshape(3, 3)
+        t0 = pose_in[9:12]
+        prior_R = pose_in[12:21].reshape(3, 3)
+        prior_t = pose_in[21:24]
+        prior_eps = pose_in[24]
+        inv_s2 = inv_s2_lut[jnp.clip(feat_octave, 0, n_levels - 1)]
+
+        ids_l = ids[:cl]
+        ids_c = ids[cl:]
+        l_xyz, l_desc, l_norm, l_mind, l_maxd, l_valid = \
+            _gather_pool(mpf, mpu, ids_l)
+        c_xyz, c_desc, c_norm, c_mind, c_maxd, c_valid = \
+            _gather_pool(mpf, mpu, ids_c)
+
+        # stage 1: last-frame points at the predicted pose
+        idx1, ok1, _ = _match(l_xyz, l_desc, l_norm, l_mind, l_maxd, l_valid,
+                              R0, t0, feat_xy, feat_desc, feat_octave,
+                              feat_valid, motion_radius, motion_ratio,
+                              th_high, 0.5)
+        a_last = jnp.full((N,), -1, jnp.int32).at[idx1].max(
+            jnp.where(ok1, jnp.arange(cl, dtype=jnp.int32), -1))
+        m1 = a_last >= 0
+        pts1 = l_xyz[jnp.maximum(a_last, 0)]
+        res1 = pose_ops.pose_optimize(
+            R0, t0, pts1, feat_xy, inv_s2, m1 & feat_valid, camp,
+            cam_type=cam_type, rounds=pose_rounds, iters=pose_iters,
+            obs_ur=feat_ur, bf=bf,
+            prior_R=prior_R, prior_t=prior_t, prior_eps=prior_eps)
+        a_last = jnp.where(res1.inlier & m1, a_last, -1)
+
+        # stage 2: local-map points at the refined pose
+        idx2, ok2, frustum2 = _match(
+            c_xyz, c_desc, c_norm, c_mind, c_maxd, c_valid,
+            res1.R, res1.t, feat_xy, feat_desc, feat_octave,
+            feat_valid & (a_last < 0), local_radius, local_ratio,
+            th_high, 0.5)
+        cc = ids_c.shape[0]
+        a_loc = jnp.full((N,), -1, jnp.int32).at[idx2].max(
+            jnp.where(ok2, jnp.arange(cc, dtype=jnp.int32), -1))
+        a_loc = jnp.where(a_last >= 0, -1, a_loc)
+        m2 = (a_last >= 0) | (a_loc >= 0)
+        pts2 = jnp.where((a_last >= 0)[:, None],
+                         l_xyz[jnp.maximum(a_last, 0)],
+                         c_xyz[jnp.maximum(a_loc, 0)])
+        res2 = pose_ops.pose_optimize(
+            res1.R, res1.t, pts2, feat_xy, inv_s2, m2 & feat_valid, camp,
+            cam_type=cam_type, rounds=pose_rounds, iters=pose_iters,
+            obs_ur=feat_ur, bf=bf,
+            prior_R=prior_R, prior_t=prior_t, prior_eps=prior_eps)
+        a_last = jnp.where(res2.inlier, a_last, -1)
+        a_loc = jnp.where(res2.inlier, a_loc, -1)
+        n1 = jnp.sum((m1 & feat_valid).astype(jnp.int32))
+        out = jnp.concatenate([
+            _bitcast_f2i(res2.R.reshape(-1)),
+            _bitcast_f2i(res2.t),
+            jnp.stack([n1, res2.n_inliers.astype(jnp.int32)]),
+            a_last, a_loc,
+            _pack_bits_i32(frustum2),
+            _pack_bits_i32(res2.inlier),
+        ])
+        return out
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def projection_assign_pooled(cam_type: int, n_levels: int, scale: float,
+                             cam_params: tuple, wh: tuple,
+                             radius: float, ratio: float, max_dist: int,
+                             view_cos_th: float,
+                             octave_lo: int = 1, octave_hi: int = 1):
+    """Pooled projection matcher: candidates as an id vector into the
+    device-resident pool, ONE packed int32 result:
+    [0:C]=idx, then packbits(ok), then packbits(frustum).
+
+    fn(pose (12,) f32, ids (C,) i32, mpf, mpu,
+       feat_xy, feat_desc, feat_octave, feat_valid)"""
+    sf = jnp.asarray([scale ** i for i in range(n_levels)], jnp.float32)
+    log_scale = jnp.log(jnp.asarray(scale, jnp.float32))
+    camp = jnp.asarray(cam_params, jnp.float32)
+    whv = jnp.asarray(wh, jnp.float32)
+
+    @jax.jit
+    def fn(pose, ids, mpf, mpu, feat_xy, feat_desc, feat_octave, feat_valid):
+        R = pose[0:9].reshape(3, 3)
+        t = pose[9:12]
+        xyz, desc, normal, mind, maxd, mvalid = _gather_pool(mpf, mpu, ids)
+        xc = lie.se3_apply(R, t, xyz)
+        z_ok = xc[..., 2] > 0.05
+        uv = cam_ops.project(cam_type, camp, xc)
+        in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < whv[0])
+                  & (uv[:, 1] >= 0) & (uv[:, 1] < whv[1]))
+        cam_center = -R.T @ t
+        d = xyz - cam_center
+        dist = jnp.linalg.norm(d, axis=-1)
+        dist_ok = (dist > 0.8 * mind) & (dist < 1.2 * maxd)
+        view_cos = jnp.sum(d * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+        lvl = jnp.ceil(jnp.log(jnp.maximum(maxd, 1e-9)
+                               / jnp.maximum(dist, 1e-9)) / log_scale)
+        lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+        frustum = (mvalid & z_ok & in_img & dist_ok
+                   & (view_cos > view_cos_th))
+        dist_m = matching.hamming_matrix(desc, feat_desc)
+        mask = (frustum[:, None] & feat_valid[None, :]
+                & matching.window_mask(uv, feat_xy, radius * sf[lvl])
+                & matching.octave_mask(lvl, feat_octave, octave_lo, octave_hi))
+        d_big = jnp.where(mask, dist_m, matching.BIG)
+        idx = jnp.argmin(d_big, axis=1)
+        best = jnp.take_along_axis(d_big, idx[:, None], axis=1)[:, 0]
+        d2 = d_big.at[jnp.arange(d_big.shape[0]), idx].set(matching.BIG)
+        second = jnp.min(d2, axis=1)
+        ok = (best <= max_dist) & (best.astype(jnp.float32)
+                                   < ratio * second.astype(jnp.float32))
+        ok = matching.resolve_duplicates(idx, best, ok, feat_desc.shape[0])
+        return jnp.concatenate([idx.astype(jnp.int32),
+                                _pack_bits_i32(ok),
+                                _pack_bits_i32(frustum)])
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def pose_opt_pooled(cam_type: int, cam_params: tuple, bf: float,
+                    n_levels: int, scale: float,
+                    rounds: int = 4, iters: int = 10):
+    """Pooled pose-only LM: world points gathered on device from the resident
+    pool by the frame's feature→point assignment. ONE packed int32 result:
+    [0:12]=bitcast(R,t), [12]=n_inl, then packbits(inlier).
+
+    fn(pose_in (25,) f32, feat_mp (N,) i32, mpf,
+       feat_xy, feat_octave, feat_valid, feat_ur)"""
+    from ..ops import pose_opt as pose_ops
+    sf = jnp.asarray([scale ** i for i in range(n_levels)], jnp.float32)
+    inv_s2_lut = 1.0 / (sf * sf)
+    camp = jnp.asarray(cam_params, jnp.float32)
+
+    @jax.jit
+    def fn(pose_in, feat_mp, mpf, feat_xy, feat_octave, feat_valid, feat_ur):
+        R0 = pose_in[0:9].reshape(3, 3)
+        t0 = pose_in[9:12]
+        prior_R = pose_in[12:21].reshape(3, 3)
+        prior_t = pose_in[21:24]
+        prior_eps = pose_in[24]
+        matched = feat_mp >= 0
+        pts = mpf[jnp.maximum(feat_mp, 0), 0:3]
+        inv_s2 = inv_s2_lut[jnp.clip(feat_octave, 0, n_levels - 1)]
+        res = pose_ops.pose_optimize(
+            R0, t0, pts, feat_xy, inv_s2, matched & feat_valid, camp,
+            cam_type=cam_type, rounds=rounds, iters=iters,
+            obs_ur=feat_ur, bf=bf,
+            prior_R=prior_R, prior_t=prior_t, prior_eps=prior_eps)
+        return jnp.concatenate([
+            _bitcast_f2i(res.R.reshape(-1)),
+            _bitcast_f2i(res.t),
+            res.n_inliers.astype(jnp.int32)[None],
+            _pack_bits_i32(res.inlier),
+        ])
+
+    return fn
+
+
 @functools.lru_cache(maxsize=None)
 def fused_track_kernel(cam_type: int, n_levels: int, scale: float,
                        pose_rounds: int = 2, pose_iters: int = 10):

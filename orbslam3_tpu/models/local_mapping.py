@@ -127,6 +127,7 @@ class LocalMapper:
         m.mp_xyz[mps] /= med
         for k in range(m.n_kf):
             m.kf_t[k] /= med
+        m.touch()
 
     # ------------------------------------------------------------------
     def cull_map_points(self, kf_id: int):
@@ -433,6 +434,7 @@ class LocalMapper:
                     m.kf_t[k] = tn[i]
             keep = m.mp_valid[pts]
             m.mp_xyz[pts[keep]] = np.asarray(res.pts)[: len(pts)][keep]
+            m.touch()
             # erase outlier observations (reference :2270 area); second-camera
             # rows carry src_feat = -1 and never erase the left observation
             inl = np.asarray(res.obs_inlier)[: n_obs]
@@ -660,6 +662,7 @@ class LocalMapper:
             in_ba = np.zeros(m.cfg.max_map_points, bool)
             keep = m.mp_valid[pts]
             m.mp_xyz[pts[keep]] = np.asarray(res.pts)[: len(pts)][keep]
+            m.touch()
             in_ba[pts[keep]] = True
             if propagate:
                 # keyframes created during the run: T_k_new = T_k_old ∘
@@ -700,6 +703,7 @@ class LocalMapper:
                     x_new = np.einsum("nij,nj->ni",
                                       newR.transpose(0, 2, 1), x_cam - newt)
                     m.mp_xyz[rest] = x_new.astype(np.float32)
+                    m.touch()
                 # expose the anchor correction for the tracker's live frame
                 if self.on_poses_corrected is not None:
                     self.on_poses_corrected(Ra_rel.astype(np.float32),
@@ -882,6 +886,7 @@ class LocalMapper:
                     m.kf_bias_a[k] = ban[i]
             keep = m.mp_valid[pts]
             m.mp_xyz[pts[keep]] = ptsn[: len(pts)][keep]
+            m.touch()
             # the tracker predicts with the LAST keyframe's bias (reference
             # mpLastKeyFrame->GetImuBias())
             last = win[n_win - 1]

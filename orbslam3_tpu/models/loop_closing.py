@@ -710,6 +710,7 @@ class LoopCloser:
         x_new = np.einsum("nij,nj->ni", Rn.transpose(0, 2, 1),
                           (x_old_cam - tn) / sn[:, None])
         m.mp_xyz[mp_ids] = x_new.astype(np.float32)
+        m.touch()
 
         # recover SE3 keyframe poses: R, t/s (reference :2361 recovery)
         m.kf_R[kfs] = R_n

@@ -126,12 +126,21 @@ class MapState:
         self.remap_epoch = 0
         self.n_compactions = 0
         self.n_grows = 0
+        # device-mirror invalidation counter (models/device_map.py): bumped by
+        # every mutation of mirrored per-point state (xyz/desc/normal/scale
+        # range/validity). Mutators in this class call touch(); external
+        # writers (BA write-back, loop corrections, gravity rescale) must too.
+        self.device_version = 0
 
         # scale pyramid constants
         s = np.array([cfg.scale ** i for i in range(cfg.n_levels)], np.float32)
         self.level_sigma2 = s * s
         self.inv_level_sigma2 = 1.0 / (s * s)
         self.scale_factors = s
+
+    def touch(self):
+        """Invalidate device mirrors (call after mutating mirrored state)."""
+        self.device_version += 1
 
     _KF_ARRAYS = ("kf_valid", "kf_R", "kf_t", "kf_ts", "kf_frame_id",
                   "kf_feat_xy", "kf_feat_angle", "kf_feat_octave",
@@ -193,6 +202,7 @@ class MapState:
 
         self.remap_epoch += 1
         self.n_compactions += 1
+        self.touch()
         for cb in list(self.on_remap.values()):
             cb(kf_remap, mp_remap)
         return kf_remap, mp_remap
@@ -222,6 +232,7 @@ class MapState:
                 setattr(self, name, b)
         self.cfg = dc_replace(self.cfg, max_keyframes=newK, max_map_points=newP)
         self.n_grows += 1
+        self.touch()
         # growth preserves ids; announce with identity LUTs so capacity-sized
         # consumer state (e.g. the BoW database) resizes
         kf_id = np.arange(newK, dtype=np.int32)
@@ -321,6 +332,7 @@ class MapState:
         self.mp_ref_kf[ids] = ref_kf
         self.mp_first_kf[ids] = ref_kf if first_kf is None else first_kf
         self.n_mp = p0 + m
+        self.touch()
         return ids
 
     def remove_map_points(self, ids: np.ndarray):
@@ -331,6 +343,7 @@ class MapState:
         self.mp_valid[ids] = False
         sel = np.isin(self.kf_feat_mp[: self.n_kf], ids)
         self.kf_feat_mp[: self.n_kf][sel] = -1
+        self.touch()
 
     def replace_map_points(self, old_ids: np.ndarray, new_ids: np.ndarray):
         """Fuse: redirect observations of old→new with per-KF de-duplication
@@ -343,6 +356,7 @@ class MapState:
         self.mp_valid[old_ids] = False
         native.replace_points(self.kf_feat_mp[: self.n_kf], lut,
                               self.cfg.max_map_points)
+        self.touch()
 
     # ------------------------------------------------------------------
     # derived relations
@@ -393,6 +407,7 @@ class MapState:
         mp_ids = np.asarray(mp_ids, np.int64)
         if len(mp_ids) == 0:
             return
+        self.touch()
         alive = native.refresh_points(
             self.kf_feat_mp[: self.n_kf], self.kf_valid[: self.n_kf],
             self.kf_feat_desc[: self.n_kf], self.kf_feat_octave[: self.n_kf],

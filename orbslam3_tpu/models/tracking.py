@@ -128,17 +128,35 @@ class Tracker:
         self.only_tracking = False
 
         self.state = TrackState.NOT_INITIALIZED
-        self.extract = feat_ops.make_extractor(int(wh[1]), int(wh[0]), orb_cfg)
+        # undistortion runs inside the extractor dispatch (pinhole only; KB8
+        # keypoints stay raw, matching the reference which projects through
+        # the model everywhere)
+        self.extract = feat_ops.make_extractor(
+            int(wh[1]), int(wh[0]), orb_cfg,
+            K=self.K if self.cam_type == 0 else None, D=self.D)
         self.match_init = kernels.init_matcher()
         self.two_view = kernels.two_view_kernel(sigma_n=1.0 / float(self.K[0]))
         self.pose_opt = kernels.pose_opt_kernel(
             cam_type=self.cam_type, n_starts=self.p.pose_starts)
         self.proj_match = kernels.projection_matcher(
             self.cam_type, orb_cfg.n_levels, orb_cfg.scale)
-        # one-dispatch per-frame hot path (match→LM→match→LM fused; under a
-        # remote-device tunnel every extra dispatch is a round trip)
-        self.fused_track = kernels.fused_track_kernel(
-            self.cam_type, orb_cfg.n_levels, orb_cfg.scale)
+        # device-resident map mirror + packed-I/O pooled kernels (round 3:
+        # under the remote-device tunnel every transfer is a round trip, so
+        # the per-frame path uploads only an id list + pose and downloads one
+        # packed buffer; see models/device_map.py and models/kernels.py)
+        from .device_map import DeviceMapMirror
+        self.mirror = DeviceMapMirror()
+        self._cam_key = tuple(float(v) for v in self.cam_params)
+        self._wh_key = (float(wh[0]), float(wh[1]))
+        self.fused_track = kernels.fused_track_pooled(
+            self.cam_type, orb_cfg.n_levels, orb_cfg.scale,
+            self._cam_key, self._wh_key, float(bf),
+            float(self.p.motion_radius), float(self.p.local_radius),
+            float(self.p.motion_ratio), float(self.p.local_ratio),
+            int(self.p.th_high))
+        self.pose_opt_pooled = kernels.pose_opt_pooled(
+            self.cam_type, self._cam_key, float(bf),
+            orb_cfg.n_levels, orb_cfg.scale)
         self.use_fused_track = True
 
         # --- IMU state (visual-inertial mode; reference src/Tracking.cc IMU
@@ -423,6 +441,7 @@ class Tracker:
         m.kf_R[kfs_all] = np.asarray(Rn)
         m.kf_t[kfs_all] = np.asarray(tn)
         m.mp_xyz[m.valid_mp_ids()] = np.asarray(pn)
+        m.touch()
         # transform the live frame(s) + velocity into the new world. BOTH the
         # last frame and the in-flight current frame must follow (in the
         # synchronous path the init runs inside the current frame's keyframe
@@ -533,23 +552,22 @@ class Tracker:
             self.frame_preint = self._preintegrate_frame(self.last_frame.ts, ts)
             self._accumulate_preint(self.frame_preint)
         with self.timer.stage("1.orb_extraction"):
-            fl = self.extract(jnp.asarray(img_l))
-            fr = self.extract(jnp.asarray(img_r))
+            img_l_dev = jnp.asarray(np.asarray(img_l, np.float32))
+            img_r_dev = jnp.asarray(np.asarray(img_r, np.float32))
+            fl = self.extract(img_l_dev)
+            fr = self.extract(img_r_dev)
         frame = build_frame(fid, ts, fl, self.K, self.D)
         fr_frame = build_frame(fid, ts, fr, self.K, self.D)
         _t_stereo = self.timer.stage("2.stereo_match"); _t_stereo.__enter__()
         ur, depth, ok = stereo_ops.stereo_match(
-            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
-            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
-            jnp.asarray(fr_frame.xy), jnp.asarray(fr_frame.desc),
-            jnp.asarray(fr_frame.octave), jnp.asarray(fr_frame.valid),
+            fl.xy, fl.desc, fl.octave, fl.valid,
+            fr.xy, fr.desc, fr.octave, fr.valid,
             jnp.asarray(self.map.scale_factors),
             jnp.asarray(self.bf, jnp.float32),
             jnp.asarray(0.1, jnp.float32))
         # subpixel disparity (integer keypoints alone give z²/bf-level depth noise)
         ur, ok = stereo_ops.subpixel_refine(
-            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
-            jnp.asarray(frame.xy), ur, ok)
+            img_l_dev, img_r_dev, fl.xy, ur, ok)
         okn = np.asarray(ok)
         urn = np.asarray(ur)
         disp = frame.xy[:, 0] - urn
@@ -585,6 +603,16 @@ class Tracker:
         }
         if self.bf <= 0:
             self.bf = float(np.linalg.norm(t_rl) * self.cam_params[0])
+        # bf is baked into the pooled kernels — rebuild them (lru-cached)
+        self.fused_track = kernels.fused_track_pooled(
+            self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale,
+            self._cam_key, self._wh_key, float(self.bf),
+            float(self.p.motion_radius), float(self.p.local_radius),
+            float(self.p.motion_ratio), float(self.p.local_ratio),
+            int(self.p.th_high))
+        self.pose_opt_pooled = kernels.pose_opt_pooled(
+            self.cam_type, self._cam_key, float(self.bf),
+            self.orb_cfg.n_levels, self.orb_cfg.scale)
 
     def process_fisheye_stereo_frame(self, img_l: np.ndarray,
                                      img_r: np.ndarray, ts: float) -> dict:
@@ -608,10 +636,8 @@ class Tracker:
         fr_frame = build_frame(fid, ts, fr, self.K, None)
         rig = self.rig
         idx, ok, z, xl = stereo_ops.fisheye_stereo_match(
-            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
-            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
-            jnp.asarray(fr_frame.xy), jnp.asarray(fr_frame.desc),
-            jnp.asarray(fr_frame.octave), jnp.asarray(fr_frame.valid),
+            fl.xy, fl.desc, fl.octave, fl.valid,
+            fr.xy, fr.desc, fr.octave, fr.valid,
             jnp.asarray(self.cam_params), jnp.asarray(rig["cam_r"]),
             jnp.asarray(rig["R_rl"]), jnp.asarray(rig["t_rl"]),
             jnp.asarray(rig["lap_l"]), jnp.asarray(rig["lap_r"]),
@@ -1051,38 +1077,49 @@ class Tracker:
     def _project_and_assign(self, frame: Frame, mp_ids: np.ndarray, cap: int,
                             radius: float, ratio: float, max_dist: int,
                             view_cos: float = 0.5, count_visible: bool = False) -> int:
-        """Run the fused frustum+projection matcher and write assignments."""
-        ids, xyz, desc, normal, mind, maxd, valid = self._gather_mps(mp_ids, cap)
-        idx, ok, uv, lvl, frustum_ok = self.proj_match(
-            jnp.asarray(xyz), jnp.asarray(desc), jnp.asarray(normal),
-            jnp.asarray(mind), jnp.asarray(maxd), jnp.asarray(valid),
-            jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(self.cam_params),
-            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
-            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
-            jnp.asarray(self.wh), jnp.asarray(radius, jnp.float32),
-            jnp.asarray(ratio, jnp.float32), jnp.asarray(max_dist, jnp.int32),
-            jnp.asarray(view_cos, jnp.float32))
-        okn = np.asarray(ok)
-        idxn = np.asarray(idx)
+        """Fused frustum+projection matcher against the device-resident pool:
+        uploads pose + one id vector, downloads one packed buffer."""
+        m = self.map
+        mp_ids = np.asarray(mp_ids, np.int32)[:cap]
+        mp_ids = mp_ids[m.mp_valid[mp_ids]]
+        n = len(mp_ids)
+        ids = np.full(cap, -1, np.int32)
+        ids[:n] = mp_ids
+        pose = np.empty(12, np.float32)
+        pose[0:9] = frame.R.reshape(-1)
+        pose[9:12] = frame.t
+        fn = kernels.projection_assign_pooled(
+            self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale,
+            self._cam_key, self._wh_key,
+            float(radius), float(ratio), int(max_dist), float(view_cos))
+        mpf, mpu = self.mirror.sync(m)
+        dev = frame.dev
+        if dev is not None:
+            fxy, fdesc, foct, fval = dev.xy, dev.desc, dev.octave, dev.valid
+        else:
+            fxy, fdesc = jnp.asarray(frame.xy), jnp.asarray(frame.desc)
+            foct, fval = jnp.asarray(frame.octave), jnp.asarray(frame.valid)
+        out = np.asarray(fn(jnp.asarray(pose), jnp.asarray(ids), mpf, mpu,
+                            fxy, fdesc, foct, fval))
+        idxn = out[:cap]
+        nw = (cap + 31) // 32
+        okn = kernels.unpack_bits_host(out[cap: cap + nw], cap)
         sel = np.nonzero(okn)[0]
-        sel = sel[sel < len(ids)]
+        sel = sel[sel < n]
         # don't overwrite existing assignments
         free = frame.feat_mp[idxn[sel]] < 0
         sel = sel[free]
         frame.feat_mp[idxn[sel]] = ids[sel]
         if count_visible:
             # reference MapPoint::IncreaseVisible fires only when isInFrustum
-            vis = np.asarray(frustum_ok)[: len(ids)]
-            self.map.mp_visible[ids[vis]] += 1
+            vis = kernels.unpack_bits_host(
+                out[cap + nw: cap + 2 * nw], cap)[:n]
+            m.mp_visible[ids[:n][vis]] += 1
         return len(sel)
 
     def _optimize_frame_pose(self, frame: Frame, in_map: MapState | None = None) -> int:
         m = in_map if in_map is not None else self.map
         matched = frame.feat_mp >= 0
-        mp = frame.feat_mp.copy()
-        pts = np.zeros((len(mp), 3), np.float32)
-        pts[matched] = m.mp_xyz[mp[matched]]
-        inv_s2 = self.inv_sigma2[frame.octave]
         # visual-inertial frame optimization once IMU-initialized (reference
         # TrackLocalMap switches to PoseInertialOptimizationLastFrame,
         # src/Tracking.cc:3421 area)
@@ -1093,7 +1130,11 @@ class Tracker:
                 and self.velocity_w is not None
                 and abs(float(self.frame_preint.dT)
                         - (frame.ts - self.last_frame.ts)) < 0.02):
-            inl = self._optimize_frame_pose_vi(frame, pts, matched, inv_s2)
+            mp = frame.feat_mp.copy()
+            pts = np.zeros((len(mp), 3), np.float32)
+            pts[matched] = m.mp_xyz[mp[matched]]
+            inl = self._optimize_frame_pose_vi(
+                frame, pts, matched, self.inv_sigma2[frame.octave])
             if inl >= 0:
                 return inl
         # anchor the weak prior at the LAST tracked pose (not the motion-model
@@ -1107,6 +1148,34 @@ class Tracker:
         else:
             pR, pt = frame.R, frame.t
             eps = 0.0
+        if (in_map is None and frame.dev is not None
+                and self.p.pose_starts == 1):
+            # pooled path: world points gathered on device by feat_mp ids
+            pose_in = np.empty(25, np.float32)
+            pose_in[0:9] = frame.R.reshape(-1)
+            pose_in[9:12] = frame.t
+            pose_in[12:21] = np.asarray(pR).reshape(-1)
+            pose_in[21:24] = pt
+            pose_in[24] = eps
+            mpf, _ = self.mirror.sync(m)
+            dev = frame.dev
+            out = np.asarray(self.pose_opt_pooled(
+                jnp.asarray(pose_in), jnp.asarray(frame.feat_mp), mpf,
+                dev.xy, dev.octave, dev.valid, jnp.asarray(frame.ur)))
+            Rn = out[0:9].view(np.float32).reshape(3, 3).copy()
+            tn = out[9:12].view(np.float32).copy()
+            if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
+                return 0
+            frame.R = Rn
+            frame.t = tn
+            N = len(frame.feat_mp)
+            inl = kernels.unpack_bits_host(out[13: 13 + (N + 31) // 32], N)
+            frame.feat_mp[matched & ~inl] = -1
+            return int(out[12])
+        mp = frame.feat_mp.copy()
+        pts = np.zeros((len(mp), 3), np.float32)
+        pts[matched] = m.mp_xyz[mp[matched]]
+        inv_s2 = self.inv_sigma2[frame.octave]
         res = self.pose_opt(
             jnp.asarray(frame.R), jnp.asarray(frame.t), jnp.asarray(pts),
             jnp.asarray(frame.xy), jnp.asarray(inv_s2, jnp.float32),
@@ -1233,52 +1302,55 @@ class Tracker:
         loc_ids = loc_ids[~np.isin(loc_ids, ids_last)]
 
         cap_l = self.orb_cfg.total_capacity
-        ids_last, xyz_l, desc_l, norm_l, mind_l, maxd_l, valid_l = \
-            self._gather_mps(ids_last, cap_l)
-        loc_ids, xyz_c, desc_c, norm_c, mind_c, maxd_c, valid_c = \
-            self._gather_mps(loc_ids, p.max_local_mps)
+        cap_c = p.max_local_mps
+        ids_last = ids_last[:cap_l]
+        loc_ids = loc_ids[:cap_c]
+        # ONE id upload: [last-frame candidates | local-map candidates]
+        ids_packed = np.full(cap_l + cap_c, -1, np.int32)
+        ids_packed[: len(ids_last)] = ids_last
+        ids_packed[cap_l: cap_l + len(loc_ids)] = loc_ids
 
         use_prior = (lf.tracked and lf.R is not None
                      and p.pose_prior_eps > 0.0)
         pR, pt = (lf.R, lf.t) if use_prior else (frame.R, frame.t)
         eps = p.pose_prior_eps if use_prior else 0.0
-        (Rn, tn, a_last, a_loc, inlier, n_inl, n1, frustum) = self.fused_track(
-            jnp.asarray(frame.R), jnp.asarray(frame.t),
-            jnp.asarray(pR), jnp.asarray(pt), jnp.asarray(eps, jnp.float32),
-            jnp.asarray(xyz_l), jnp.asarray(desc_l), jnp.asarray(norm_l),
-            jnp.asarray(mind_l), jnp.asarray(maxd_l), jnp.asarray(valid_l),
-            jnp.asarray(xyz_c), jnp.asarray(desc_c), jnp.asarray(norm_c),
-            jnp.asarray(mind_c), jnp.asarray(maxd_c), jnp.asarray(valid_c),
-            jnp.asarray(frame.xy), jnp.asarray(frame.desc),
-            jnp.asarray(frame.octave), jnp.asarray(frame.valid),
-            jnp.asarray(frame.ur), jnp.asarray(self.cam_params),
-            jnp.asarray(self.wh), jnp.asarray(self.bf, jnp.float32),
-            jnp.asarray(p.motion_radius, jnp.float32),
-            jnp.asarray(p.local_radius, jnp.float32),
-            jnp.asarray(p.motion_ratio, jnp.float32),
-            jnp.asarray(p.local_ratio, jnp.float32),
-            jnp.asarray(p.th_high, jnp.int32))
-        n1 = int(n1)
-        inl = int(n_inl)
+        pose_in = np.empty(25, np.float32)
+        pose_in[0:9] = frame.R.reshape(-1)
+        pose_in[9:12] = frame.t
+        pose_in[12:21] = np.asarray(pR).reshape(-1)
+        pose_in[21:24] = pt
+        pose_in[24] = eps
+        mpf, mpu = self.mirror.sync(m)
+        dev = frame.dev
+        N = self.orb_cfg.total_capacity
+        out = np.asarray(self.fused_track(
+            jnp.asarray(pose_in), jnp.asarray(ids_packed), mpf, mpu,
+            dev.xy, dev.desc, dev.octave, dev.valid,
+            jnp.asarray(frame.ur), cl=cap_l))
+        Rn = out[0:9].view(np.float32).reshape(3, 3).copy()
+        tn = out[9:12].view(np.float32).copy()
+        n1 = int(out[12])
+        inl = int(out[13])
         if n1 < p.min_motion_matches or inl < p.min_local_inliers:
             return False
-        Rn = np.asarray(Rn)
-        tn = np.asarray(tn)
         if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
             return False
         frame.R = Rn
         frame.t = tn
-        al = np.asarray(a_last)
-        ac = np.asarray(a_loc)
+        al = out[14: 14 + N]
+        ac = out[14 + N: 14 + 2 * N]
+        off = 14 + 2 * N
+        nw_f = (cap_c + 31) // 32
+        frustum_bits = out[off: off + nw_f]
         frame.feat_mp[:] = -1
         sel_l = al >= 0
-        frame.feat_mp[sel_l] = ids_last[al[sel_l]]
+        frame.feat_mp[sel_l] = ids_packed[al[sel_l]]
         sel_c = ac >= 0
         nc = len(loc_ids)
         sel_c &= ac < nc
-        frame.feat_mp[sel_c] = loc_ids[ac[sel_c]]
+        frame.feat_mp[sel_c] = ids_packed[cap_l + ac[sel_c]]
         # found/visible counters (reference IncreaseFound/IncreaseVisible)
-        vis = np.asarray(frustum)[:nc]
+        vis = kernels.unpack_bits_host(frustum_bits, cap_c)[:nc]
         m.mp_visible[loc_ids[vis]] += 1
         found = frame.feat_mp[frame.feat_mp >= 0]
         m.mp_found[found] += 1

@@ -401,9 +401,62 @@ def extract_orb(img: jax.Array, cfg: OrbConfig) -> OrbFeatures:
     )
 
 
-def make_extractor(h: int, w: int, cfg: OrbConfig):
-    """Returns a jitted extractor for a fixed image size."""
+def make_extractor(h: int, w: int, cfg: OrbConfig, K=None, D=None):
+    """Returns a jitted extractor for a fixed image size.
+
+    When pinhole intrinsics ``K`` (fx fy cx cy) and distortion ``D`` are
+    given, keypoint undistortion (reference Frame::UndistortKeyPoints,
+    src/Frame.cc:924) runs inside the same dispatch so the returned ``xy``
+    is already undistorted — the host never needs to round-trip keypoints
+    through the device for it."""
+    from . import camera as cam_ops
+    undist = (K is not None and D is not None
+              and bool(np.any(np.abs(np.asarray(D)) > 1e-12)))
+    Kc = None if K is None else jnp.asarray(np.asarray(K, np.float32)[:4])
+    Dc = None if D is None else jnp.asarray(np.asarray(D, np.float32))
+
     @jax.jit
     def fn(img):
-        return extract_orb(img, cfg)
+        feats = extract_orb(img, cfg)
+        if undist:
+            feats = feats._replace(
+                xy=cam_ops.pinhole_undistort_pixels(Kc, Dc, feats.xy))
+        return feats
     return fn
+
+
+def pack_features_for_host(feats: OrbFeatures) -> jax.Array:
+    """Pack one frame's features into a single uint32 buffer for ONE
+    device→host transfer (the tunnel to a remote TPU pays per-transfer
+    latency; see models/frame.py lazy materialization).
+
+    Layout per row (13 u32): xy (2, f32 bits), angle (1, f32 bits),
+    response (1, f32 bits), octave (1), valid (1), desc (8)."""
+    as_u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    return jnp.concatenate([
+        as_u32(feats.xy),
+        as_u32(feats.angle)[:, None],
+        as_u32(feats.response)[:, None],
+        feats.octave.astype(jnp.uint32)[:, None],
+        feats.valid.astype(jnp.uint32)[:, None],
+        feats.desc,
+    ], axis=1)
+
+
+@jax.jit
+def _pack_features_jit(feats: OrbFeatures) -> jax.Array:
+    return pack_features_for_host(feats)
+
+
+def unpack_features_host(buf: np.ndarray):
+    """Host-side inverse of :func:`pack_features_for_host`.
+
+    Returns (xy, angle, response, octave, desc, valid) numpy arrays."""
+    buf = np.asarray(buf)
+    xy = buf[:, 0:2].copy().view(np.float32)
+    angle = buf[:, 2].copy().view(np.float32)
+    response = buf[:, 3].copy().view(np.float32)
+    octave = buf[:, 4].astype(np.int32)
+    valid = buf[:, 5].astype(bool)
+    desc = np.ascontiguousarray(buf[:, 6:14]).astype(np.uint32)
+    return xy, angle, response, octave, desc, valid
