@@ -572,3 +572,181 @@ def fused_track_kernel(cam_type: int, n_levels: int, scale: float,
                 res2.n_inliers, n1, frustum2)
 
     return fn
+
+
+@functools.lru_cache(maxsize=None)
+def triangulation_batched(cam_type: int, n_levels: int, scale: float,
+                          cam_params: tuple, cap_new: int = 2048,
+                          max_dist: int = 50, sigma_n: float = 1.0):
+    """Epipolar matching + DLT triangulation of the new keyframe against ALL
+    covisible neighbors in ONE dispatch (reference CreateNewMapPoints loop,
+    src/LocalMapping.cc:487-497; round 2 dispatched per neighbor, paying a
+    tunnel round trip each).
+
+    fn(pose1 (12,), xy1 (N,2), desc1 (N,8), oct1 (N,), un1 (N,) bool,
+       nb_ids (B,) i32, nb_valid (B,) bool, poses2 (B,12), un2 (B,N) bool,
+       pool_xy (Kc,N,2), pool_desc (Kc,N,8), pool_oct (Kc,N))
+    → packed i32 (1 + cap_new·6):
+      [0]=count, then per row: f1, f2, b, and xw bitcast (3).
+    """
+    from ..ops import triangulation
+    sf2 = jnp.asarray([(scale ** i) ** 2 for i in range(n_levels)], jnp.float32)
+    camp = jnp.asarray(cam_params, jnp.float32)
+    sig = float(sigma_n)
+
+    def pair(R1, t1, rays1, desc1, oct1, un1, pose2, xy2, desc2, oct2, un2):
+        R2 = pose2[0:9].reshape(3, 3)
+        t2 = pose2[9:12]
+        rays2 = cam_ops.unproject(cam_type, camp, xy2)
+        R1i, t1i = lie.se3_inverse(R1, t1)
+        R21, t21 = lie.se3_compose(R2, t2, R1i, t1i)
+        E = lie.hat(t21) @ R21
+        l2 = rays1 @ E.T
+        fx, fy = camp[0], camp[1]
+        a = l2[:, 0] / fx
+        b = l2[:, 1] / fy
+        cx, cy = camp[2], camp[3]
+        c = l2[:, 2] - l2[:, 0] * cx / fx - l2[:, 1] * cy / fy
+        num = (a[:, None] * xy2[None, :, 0] + b[:, None] * xy2[None, :, 1]
+               + c[:, None])
+        dsq = (num * num) / jnp.maximum((a * a + b * b)[:, None], 1e-18)
+        ep = dsq < 3.84 * sf2[oct2][None, :]
+        dist = matching.hamming_matrix(desc1, desc2)
+        mask = un1[:, None] & un2[None, :] & ep
+        idx, best, ok = matching.masked_match(dist, mask, max_dist, 1.0)
+        ok = matching.resolve_duplicates(idx, best, ok, desc2.shape[0])
+        r2m = rays2[idx]
+        xw = triangulation.triangulate_dlt(R1, t1, rays1, R2, t2, r2m)
+        s1 = sig * sig * sf2[oct1]
+        s2 = sig * sig * sf2[oct2[idx]]
+        tri_ok, depths = triangulation.check_triangulation(
+            xw, R1, t1, rays1, R2, t2, r2m, s1, s2,
+            min_parallax_cos=0.9998, chi2_th=5.991)
+        return idx, ok & tri_ok, xw
+
+    @jax.jit
+    def fn(pose1, xy1, desc1, oct1, un1, nb_ids, nb_valid, poses2, un2,
+           pool_xy, pool_desc, pool_oct):
+        N = xy1.shape[0]
+        B = nb_ids.shape[0]
+        R1 = pose1[0:9].reshape(3, 3)
+        t1 = pose1[9:12]
+        rays1 = cam_ops.unproject(cam_type, camp, xy1)
+        safe = jnp.maximum(nb_ids, 0)
+        xy2 = pool_xy[safe]
+        desc2 = pool_desc[safe]
+        oct2 = pool_oct[safe]
+        idx, ok, xw = jax.vmap(
+            lambda p2, x2, d2, o2, u2: pair(R1, t1, rays1, desc1, oct1, un1,
+                                            p2, x2, d2, o2, u2)
+        )(poses2, xy2, desc2, oct2, un2)
+        ok = ok & nb_valid[:, None] & (nb_ids >= 0)[:, None]
+        ok_flat = ok.reshape(-1)
+        sel = jnp.nonzero(ok_flat, size=cap_new, fill_value=B * N)[0]
+        got = sel < B * N
+        count = jnp.sum(got.astype(jnp.int32))
+        sel_c = jnp.minimum(sel, B * N - 1)
+        b = (sel_c // N).astype(jnp.int32)
+        f1 = (sel_c % N).astype(jnp.int32)
+        f2 = idx.reshape(-1)[sel_c].astype(jnp.int32)
+        xw_sel = xw.reshape(-1, 3)[sel_c]
+        f1 = jnp.where(got, f1, -1)
+        return jnp.concatenate([
+            count[None], f1, f2, b,
+            _bitcast_f2i(xw_sel[:, 0]),
+            _bitcast_f2i(xw_sel[:, 1]),
+            _bitcast_f2i(xw_sel[:, 2]),
+        ])
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def fuse_batched(cam_type: int, n_levels: int, scale: float,
+                 cam_params: tuple, wh: tuple, cap_cand: int = 4096,
+                 cap_out: int = 4096, radius: float = 3.0,
+                 max_dist: int = 50):
+    """Projection fuse of candidate map points into MULTIPLE target keyframes
+    in ONE dispatch (reference SearchInNeighbors → ORBmatcher::Fuse,
+    src/LocalMapping.cc:925, src/ORBmatcher.cc:1823).
+
+    fn(tgt_ids (T,) i32, tgt_poses (T,12) f32, tgt_fvalid (T,N) bool,
+       cand_ids (T,C) i32, mpf, mpu, pool_xy, pool_desc, pool_oct)
+    → packed i32: [0]=count, rows (cap_out): t, c, feat  (candidate c of
+      target t matched feature `feat`).
+    """
+    sf = jnp.asarray([scale ** i for i in range(n_levels)], jnp.float32)
+    log_scale = jnp.log(jnp.asarray(scale, jnp.float32))
+    camp = jnp.asarray(cam_params, jnp.float32)
+    whv = jnp.asarray(wh, jnp.float32)
+
+    def one_target(pose, fvalid, cids, mpf, mpu, xy2, desc2, oct2):
+        R = pose[0:9].reshape(3, 3)
+        t = pose[9:12]
+        xyz, desc, normal, mind, maxd, mvalid = _gather_pool(mpf, mpu, cids)
+        xc = lie.se3_apply(R, t, xyz)
+        z_ok = xc[..., 2] > 0.05
+        uv = cam_ops.project(cam_type, camp, xc)
+        in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < whv[0])
+                  & (uv[:, 1] >= 0) & (uv[:, 1] < whv[1]))
+        cam_center = -R.T @ t
+        d = xyz - cam_center
+        dist = jnp.linalg.norm(d, axis=-1)
+        dist_ok = (dist > 0.8 * mind) & (dist < 1.2 * maxd)
+        view_cos = jnp.sum(d * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+        lvl = jnp.ceil(jnp.log(jnp.maximum(maxd, 1e-9)
+                               / jnp.maximum(dist, 1e-9)) / log_scale)
+        lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+        frustum = mvalid & z_ok & in_img & dist_ok & (view_cos > 0.5)
+        dist_m = matching.hamming_matrix(desc, desc2)
+        mask = (frustum[:, None] & fvalid[None, :]
+                & matching.window_mask(uv, xy2, radius * sf[lvl])
+                & matching.octave_mask(lvl, oct2, 1, 1))
+        d_big = jnp.where(mask, dist_m, matching.BIG)
+        idx = jnp.argmin(d_big, axis=1)
+        best = jnp.take_along_axis(d_big, idx[:, None], axis=1)[:, 0]
+        ok = best <= max_dist
+        ok = matching.resolve_duplicates(idx, best, ok, desc2.shape[0])
+        return idx, ok
+
+    @jax.jit
+    def fn(tgt_ids, tgt_poses, tgt_fvalid, cand_ids, mpf, mpu,
+           pool_xy, pool_desc, pool_oct):
+        T, C = cand_ids.shape
+        safe = jnp.maximum(tgt_ids, 0)
+        xy2 = pool_xy[safe]
+        desc2 = pool_desc[safe]
+        oct2 = pool_oct[safe]
+        idx, ok = jax.vmap(
+            lambda pose, fv, ci, x2, d2, o2:
+                one_target(pose, fv, ci, mpf, mpu, x2, d2, o2)
+        )(tgt_poses, tgt_fvalid, cand_ids, xy2, desc2, oct2)
+        ok = ok & (tgt_ids >= 0)[:, None]
+        ok_flat = ok.reshape(-1)
+        sel = jnp.nonzero(ok_flat, size=cap_out, fill_value=T * C)[0]
+        got = sel < T * C
+        count = jnp.sum(got.astype(jnp.int32))
+        sel_c = jnp.minimum(sel, T * C - 1)
+        t_i = (sel_c // C).astype(jnp.int32)
+        c_i = (sel_c % C).astype(jnp.int32)
+        f_i = idx.reshape(-1)[sel_c].astype(jnp.int32)
+        t_i = jnp.where(got, t_i, -1)
+        return jnp.concatenate([count[None], t_i, c_i, f_i])
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def ba_result_packer():
+    """Pack a BAResult into ONE int32 buffer for a single device→host pull:
+    [bitcast R (K·9) | bitcast t (K·3) | bitcast pts (P·3) |
+     packbits(obs_inlier)]."""
+    @jax.jit
+    def fn(R, t, pts, obs_inlier):
+        return jnp.concatenate([
+            _bitcast_f2i(R.astype(jnp.float32).reshape(-1)),
+            _bitcast_f2i(t.astype(jnp.float32).reshape(-1)),
+            _bitcast_f2i(pts.astype(jnp.float32).reshape(-1)),
+            _pack_bits_i32(obs_inlier),
+        ])
+    return fn

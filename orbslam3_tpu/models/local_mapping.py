@@ -159,14 +159,20 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def create_new_map_points(self, kf_id: int, n_neighbors: int = 10):
         """Reference CreateNewMapPoints (src/LocalMapping.cc:487): epipolar
-        search + triangulation against best covisible KFs."""
+        search + triangulation against best covisible KFs — ALL neighbors in
+        ONE dispatch + ONE packed download (round 2 paid a tunnel round trip
+        per neighbor)."""
+        from .device_map import kf_pool_for
         m = self.map
         neighbors = m.best_covisible(kf_id, n_neighbors, min_weight=15)
         if len(neighbors) == 0 and m.n_kf >= 2:
             neighbors = np.array([kf_id - 1], np.int32)
         R1, t1 = m.kf_R[kf_id], m.kf_t[kf_id]
         c1 = -R1.T @ t1
-        new_ids_all = []
+        un1 = m.kf_feat_valid[kf_id] & (m.kf_feat_mp[kf_id] < 0)
+        if un1.sum() < 10:
+            return
+        keep = []
         for k2 in neighbors:
             k2 = int(k2)
             R2, t2 = m.kf_R[k2], m.kf_t[k2]
@@ -182,49 +188,76 @@ class LocalMapper:
                     continue
             elif baseline < 1e-6:
                 continue
-            un1 = m.kf_feat_valid[kf_id] & (m.kf_feat_mp[kf_id] < 0)
             un2 = m.kf_feat_valid[k2] & (m.kf_feat_mp[k2] < 0)
-            if un1.sum() < 10 or un2.sum() < 10:
+            if un2.sum() < 10:
                 continue
-            idx, ok, xw, depths = self.tri_match(
-                jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2), jnp.asarray(t2),
-                jnp.asarray(self.K),
-                jnp.asarray(m.kf_feat_xy[kf_id]), jnp.asarray(m.kf_feat_desc[kf_id]),
-                jnp.asarray(un1), jnp.asarray(m.kf_feat_octave[kf_id]),
-                jnp.asarray(m.kf_feat_xy[k2]), jnp.asarray(m.kf_feat_desc[k2]),
-                jnp.asarray(un2), jnp.asarray(m.kf_feat_octave[k2]),
-                # no best/second ratio (reference SearchForTriangulation gates only
-                # on TH_LOW + epipolar + rotation, src/ORBmatcher.cc:1107): the
-                # same landmark at adjacent octaves makes second-best ≈ best
-                jnp.asarray(1.0, jnp.float32), jnp.asarray(50, jnp.int32),
-                jnp.asarray(1.0 / float(self.K[0]), jnp.float32))
-            okn = np.asarray(ok)
-            idxn = np.asarray(idx)
-            f1 = np.nonzero(okn)[0]
-            if len(f1) == 0:
-                continue
-            f2 = idxn[f1]
-            xw_np = np.asarray(xw)[f1]
-            # create points
-            dirs = xw_np - c1
-            dist = np.linalg.norm(dirs, axis=1)
-            normals = dirs / np.maximum(dist[:, None], 1e-9)
-            sf = m.scale_factors
-            lvl = m.kf_feat_octave[kf_id, f1]
-            maxd = dist * sf[lvl]
-            mind = maxd / sf[-1]
-            ids = m.add_map_points(xw_np, m.kf_feat_desc[kf_id, f1], kf_id,
-                                   normals, mind, maxd, first_kf=kf_id)
-            m.kf_feat_mp[kf_id, f1] = ids
-            m.kf_feat_mp[k2, f2] = ids
-            # seed counters so culling's found-ratio starts neutral
-            m.mp_visible[ids] = 1
-            m.mp_found[ids] = 1
-            new_ids_all.append(ids)
-        if new_ids_all:
-            allnew = np.concatenate(new_ids_all)
-            self.recent_mp.append((kf_id, allnew))
-            self.stats["triangulated"] += len(allnew)
+            keep.append((k2, un2))
+        if not keep:
+            return
+        B = 16 if len(keep) > 8 else 8
+        N = m.cfg.n_features
+        nb_ids = np.full(B, -1, np.int32)
+        un2_all = np.zeros((B, N), bool)
+        for i, (k2, un2) in enumerate(keep):
+            nb_ids[i] = k2
+            un2_all[i] = un2
+        poses2 = np.zeros((B, 12), np.float32)
+        poses2[: len(keep), 0:9] = m.kf_R[nb_ids[: len(keep)]].reshape(-1, 9)
+        poses2[: len(keep), 9:12] = m.kf_t[nb_ids[: len(keep)]]
+        pose1 = np.concatenate([R1.reshape(-1), t1]).astype(np.float32)
+        pool_xy, pool_desc, pool_oct = kf_pool_for(m).sync(
+            m, [kf_id] + [k for k, _ in keep])
+        cap_new = 2048
+        fn = kernels.triangulation_batched(
+            self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale,
+            tuple(float(v) for v in self.K), cap_new=cap_new,
+            max_dist=50, sigma_n=1.0 / float(self.K[0]))
+        kf_dev = jnp.asarray(kf_id)
+        out = np.asarray(fn(
+            jnp.asarray(pose1),
+            pool_xy[kf_id], pool_desc[kf_id], pool_oct[kf_id],
+            jnp.asarray(un1), jnp.asarray(nb_ids),
+            jnp.asarray(nb_ids >= 0), jnp.asarray(poses2),
+            jnp.asarray(un2_all), pool_xy, pool_desc, pool_oct))
+        count = int(out[0])
+        if count == 0:
+            return
+        f1 = out[1: 1 + cap_new][:count]
+        f2 = out[1 + cap_new: 1 + 2 * cap_new][:count]
+        b = out[1 + 2 * cap_new: 1 + 3 * cap_new][:count]
+        xw = np.stack([
+            out[1 + 3 * cap_new: 1 + 4 * cap_new][:count].view(np.float32),
+            out[1 + 4 * cap_new: 1 + 5 * cap_new][:count].view(np.float32),
+            out[1 + 5 * cap_new: 1 + 6 * cap_new][:count].view(np.float32),
+        ], axis=1)
+        # a feature may triangulate against several neighbors — keep the first
+        # (neighbors are covisibility-ranked; the sequential reference loop
+        # implicitly does the same because later pairs see it as matched)
+        _, first = np.unique(f1, return_index=True)
+        first = np.sort(first)
+        f1, f2, b, xw = f1[first], f2[first], b[first], xw[first]
+        good = np.isfinite(xw).all(axis=1)
+        f1, f2, b, xw = f1[good], f2[good], b[good], xw[good]
+        if len(f1) == 0:
+            return
+        k2_arr = nb_ids[b]
+        dirs = xw - c1
+        dist = np.linalg.norm(dirs, axis=1)
+        normals = dirs / np.maximum(dist[:, None], 1e-9)
+        sf = m.scale_factors
+        lvl = m.kf_feat_octave[kf_id, f1]
+        maxd = dist * sf[lvl]
+        mind = maxd / sf[-1]
+        ids = m.add_map_points(xw.astype(np.float32),
+                               m.kf_feat_desc[kf_id, f1], kf_id,
+                               normals, mind, maxd, first_kf=kf_id)
+        m.kf_feat_mp[kf_id, f1] = ids
+        m.kf_feat_mp[k2_arr, f2] = ids
+        # seed counters so culling's found-ratio starts neutral
+        m.mp_visible[ids] = 1
+        m.mp_found[ids] = 1
+        self.recent_mp.append((kf_id, ids))
+        self.stats["triangulated"] += len(ids)
 
     # ------------------------------------------------------------------
     def search_in_neighbors(self, kf_id: int, n_neighbors: int = 10, cap: int = 4096):
@@ -238,18 +271,84 @@ class LocalMapper:
         if not hasattr(self, "_fuse_match"):
             self._fuse_match = kernels.projection_matcher(
                 self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale)
+        from .device_map import kf_pool_for, mirror_for
         neighbors = [int(k) for k in m.best_covisible(kf_id, n_neighbors, min_weight=15)]
         if not neighbors:
             return
         kf_mps = m.kf_feat_mp[kf_id]
         kf_mps = np.unique(kf_mps[kf_mps >= 0])
-        # direction 1: this KF's points into each neighbor
-        for t in neighbors:
-            self._fuse_into(kf_mps, t, cap)
-        # direction 2: neighbor points into this KF
+        kf_mps = kf_mps[m.mp_valid[kf_mps]]
+        # both directions in ONE dispatch: targets = neighbors (receiving this
+        # KF's points) + this KF (receiving the union of neighbor points)
         neigh_mps = m.local_map_points(np.asarray(neighbors, np.int32))
-        self._fuse_into(neigh_mps, kf_id, cap)
+        targets = neighbors + [kf_id]
+        T = 16 if len(targets) > 12 else 12
+        C = cap
+        tgt_ids = np.full(T, -1, np.int32)
+        tgt_ids[: len(targets)] = targets
+        tgt_poses = np.zeros((T, 12), np.float32)
+        tgt_poses[: len(targets), 0:9] = m.kf_R[targets].reshape(-1, 9)
+        tgt_poses[: len(targets), 9:12] = m.kf_t[targets]
+        N = m.cfg.n_features
+        tgt_fvalid = np.zeros((T, N), bool)
+        tgt_fvalid[: len(targets)] = m.kf_feat_valid[targets]
+        cand_ids = np.full((T, C), -1, np.int32)
+        for i in range(len(neighbors)):
+            cand_ids[i, : min(len(kf_mps), C)] = kf_mps[:C]
+        cand_ids[len(targets) - 1, : min(len(neigh_mps), C)] = neigh_mps[:C]
+        fn = kernels.fuse_batched(
+            self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale,
+            tuple(float(v) for v in self.K),
+            (float(self.wh[0]), float(self.wh[1])), cap_cand=C)
+        mpf, mpu = mirror_for(m).sync(m)
+        pool_xy, pool_desc, pool_oct = kf_pool_for(m).sync(m, targets)
+        cap_out = 4096
+        out = np.asarray(fn(
+            jnp.asarray(tgt_ids), jnp.asarray(tgt_poses),
+            jnp.asarray(tgt_fvalid), jnp.asarray(cand_ids), mpf, mpu,
+            pool_xy, pool_desc, pool_oct))
+        count = int(out[0])
+        if count:
+            t_i = out[1: 1 + cap_out][:count]
+            c_i = out[1 + cap_out: 1 + 2 * cap_out][:count]
+            f_i = out[1 + 2 * cap_out: 1 + 3 * cap_out][:count]
+            self._apply_fuse_matches(tgt_ids[t_i], cand_ids[t_i, c_i], f_i)
         m.refresh_map_points(kf_mps)
+
+    def _apply_fuse_matches(self, tgt_kf: np.ndarray, mp_src: np.ndarray,
+                            feat_tgt: np.ndarray):
+        """Merge/claim bookkeeping for batched fuse matches (reference
+        MapPoint::Replace semantics: keep the more-observed point)."""
+        m = self.map
+        obs_cnt = m.obs_count()
+        replaced: dict[int, int] = {}
+        rep_old: list[int] = []
+        rep_new: list[int] = []
+        for mp, t, ft in zip(mp_src, tgt_kf, feat_tgt):
+            mp = int(mp)
+            mp = replaced.get(mp, mp)
+            if mp < 0 or not m.mp_valid[mp]:
+                continue
+            existing = int(m.kf_feat_mp[t, ft])
+            existing = replaced.get(existing, existing)
+            if existing == mp:
+                continue
+            if existing < 0 or not m.mp_valid[existing]:
+                m.kf_feat_mp[t, ft] = mp
+                continue
+            # merge: keep the more-observed point (reference MapPoint::Replace)
+            if obs_cnt[mp] >= obs_cnt[existing]:
+                old, new = existing, mp
+            else:
+                old, new = mp, existing
+            if replaced.get(old, old) != old:
+                continue
+            replaced[old] = new
+            rep_old.append(old)
+            rep_new.append(new)
+        if rep_old:
+            m.replace_map_points(np.asarray(rep_old, np.int64),
+                                 np.asarray(rep_new, np.int64))
 
     def _fuse_into(self, mp_ids: np.ndarray, target_kf: int, cap: int):
         import jax.numpy as jnp
@@ -424,20 +523,27 @@ class LocalMapper:
             return
         prob, all_kfs, fixed_mask, pts, o_src_kf, o_src_feat, n_obs = prob_data
         res = self._run_ba(prob, iters)
+        # ONE packed device→host pull instead of four (tunnel round trips)
+        Kb = int(prob.R.shape[0])
+        Pb = int(prob.pts.shape[0])
+        Ob = int(prob.obs_kf.shape[0])
+        buf = np.asarray(kernels.ba_result_packer()(
+            res.R, res.t, res.pts, res.obs_inlier))
+        Rn = buf[0: Kb * 9].view(np.float32).reshape(Kb, 3, 3)[: len(all_kfs)]
+        tn = buf[Kb * 9: Kb * 12].view(np.float32).reshape(Kb, 3)[: len(all_kfs)]
+        ptsn = buf[Kb * 12: Kb * 12 + Pb * 3].view(np.float32).reshape(Pb, 3)
+        inl = kernels.unpack_bits_host(buf[Kb * 12 + Pb * 3:], Ob)[: n_obs]
         with m.lock:
             # write back
-            Rn = np.asarray(res.R)[: len(all_kfs)]
-            tn = np.asarray(res.t)[: len(all_kfs)]
             for i, k in enumerate(all_kfs):
                 if not fixed_mask[i] and m.kf_valid[k]:
                     m.kf_R[k] = Rn[i]
                     m.kf_t[k] = tn[i]
             keep = m.mp_valid[pts]
-            m.mp_xyz[pts[keep]] = np.asarray(res.pts)[: len(pts)][keep]
+            m.mp_xyz[pts[keep]] = ptsn[: len(pts)][keep]
             m.touch()
             # erase outlier observations (reference :2270 area); second-camera
             # rows carry src_feat = -1 and never erase the left observation
-            inl = np.asarray(res.obs_inlier)[: n_obs]
             bad = ~inl & (o_src_feat >= 0)
             if bad.any():
                 m.kf_feat_mp[o_src_kf[bad], o_src_feat[bad]] = -1

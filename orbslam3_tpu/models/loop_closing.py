@@ -42,6 +42,29 @@ from .map import MapState
 _DEFAULT_VOCAB = None
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _db_score_fn(db_shape):
+    """L1 similarity + common-word counts of row ``k`` against the whole
+    device-resident BoW DB, packed into ONE int32 pull:
+    [bitcast(scores) (K,), common (K,)]."""
+    import jax
+
+    @jax.jit
+    def fn(db, k):
+        q = db[k]
+        scores = vocab_ops.l1_scores(q, db)
+        common = jnp.sum((db > 0) & (q > 0)[None, :], axis=-1,
+                         dtype=jnp.int32)
+        return jnp.concatenate([
+            jax.lax.bitcast_convert_type(scores.astype(jnp.float32),
+                                         jnp.int32),
+            common])
+    return fn
+
+
 def _default_vocabulary() -> vocab_ops.BinaryVocabulary:
     """The packaged 10k-word vocabulary trained on rendered-scene ORB
     descriptors with tf-idf weights (scripts/train_vocab.py — the analogue of
@@ -112,7 +135,30 @@ class LoopCloser:
         # the system binds this to the mapper's projection-fuse
         self.fuse_fn = None
         self._guided = None   # lazy projection matcher kernel
+        # device-resident BoW database (round 3): the dense score/common
+        # query runs against a resident (Kc, W) buffer instead of re-uploading
+        # the whole database every keyframe (~2 MB/query over the tunnel)
+        self._db_dev = None
+        self._db_rows = 0     # rows synced from host
         map_state.on_remap["loop_closer"] = self._on_map_remap
+
+    def _db_sync(self, n_kf: int):
+        """Device BoW DB covering rows [0, n_kf); incremental row appends."""
+        W = self.vocab.n_words
+        cap = self.bow_db.shape[0]
+        if self._db_dev is None or self._db_dev.shape[0] != cap:
+            self._db_dev = jnp.asarray(self.bow_db)
+            self._db_rows = n_kf
+        elif self._db_rows < n_kf:
+            rows = np.arange(self._db_rows, n_kf)
+            self._db_dev = self._db_dev.at[jnp.asarray(rows)].set(
+                jnp.asarray(self.bow_db[rows]))
+            self._db_rows = n_kf
+        return self._db_dev
+
+    def _db_invalidate(self):
+        self._db_dev = None
+        self._db_rows = 0
 
     def _on_map_remap(self, kf_remap: np.ndarray, mp_remap: np.ndarray):
         """Map pools compacted/grown: reorder the BoW database rows and remap
@@ -128,6 +174,7 @@ class LoopCloser:
         new_filled[tgt[keep]] = True
         self.bow_db = new_db
         self.bow_filled = new_filled
+        self._db_invalidate()
         if self.last_loop_kf >= 0:
             r = int(kf_remap[self.last_loop_kf])
             if r < 0:   # culled: nearest surviving position keeps the recency gate
@@ -285,14 +332,16 @@ class LoopCloser:
         m = self.map
         covis = m.covisibility_row(kf_id)
         neighbors = np.nonzero(covis >= 15)[0]
-        q = jnp.asarray(self.bow_db[kf_id])
         valid_ids = np.nonzero(self.bow_filled[: m.n_kf] & m.kf_valid[: m.n_kf])[0]
         if len(valid_ids) == 0:
             return np.zeros(0, np.int64)
-        db = jnp.asarray(self.bow_db[valid_ids])
-        scores = np.asarray(vocab_ops.l1_scores(q, db))
-        # common-word counts: boolean intersection sizes (one matvec)
-        common = np.asarray(jnp.sum((db > 0) & (q > 0)[None, :], axis=-1))
+        # device-resident DB: score + common-word counts in one kernel with
+        # ONE packed pull (round 2 re-uploaded the whole DB per query)
+        db = self._db_sync(m.n_kf)
+        out = np.asarray(_db_score_fn(db.shape)(db, kf_id))
+        cap = db.shape[0]
+        scores = out[:cap].view(np.float32)[valid_ids]
+        common = out[cap:][valid_ids]
 
         eligible = np.ones(len(valid_ids), bool)
         eligible &= ~np.isin(valid_ids, neighbors)

@@ -24,7 +24,11 @@ def _enable_compilation_cache():
     on the remote TPU drops from minutes to seconds."""
     import jax
     try:
-        if jax.config.jax_compilation_cache_dir is None:
+        # TPU executables are portable across processes on the same chip; the
+        # CPU backend's AOT results embed host-feature tuning flags that can
+        # mis-load (SIGILL risk) — cache only on TPU.
+        if (jax.default_backend() == "tpu"
+                and jax.config.jax_compilation_cache_dir is None):
             jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
@@ -95,9 +99,19 @@ class SlamSystem:
         self.loop_closer = None
         if self._enable_lc:
             from .loop_closing import LoopCloser
-            self.loop_closer = LoopCloser(m, self._K, self._wh,
-                                          fix_scale=self._bf > 0,
-                                          cam_type=self.cam_type)
+            # the reference A.5 gates (20/15/20/50/80, src/LoopClosing.cc:
+            # 734-738) are absolute counts tuned for its 1000+-feature
+            # budgets; scale them with the configured budget (floored at
+            # 40% so small rigs still verify strictly enough)
+            gs = max(min(1.0, self.orb_cfg.n_features / 1000.0), 0.4)
+            self.loop_closer = LoopCloser(
+                m, self._K, self._wh, fix_scale=self._bf > 0,
+                cam_type=self.cam_type,
+                n_bow_matches=int(round(20 * gs)),
+                n_bow_inliers=int(round(15 * gs)),
+                n_sim3_inliers=int(round(20 * gs)),
+                n_proj_matches=int(round(50 * gs)),
+                n_proj_opt_matches=int(round(80 * gs)))
             self.loop_closer.timer = self.timer
             # SearchAndFuse hook (reference src/LoopClosing.cc:1462 uses
             # ORBmatcher::Fuse — same kernel as the mapper's fuse)
@@ -182,6 +196,7 @@ class SlamSystem:
         """Join the mapper/loop/GBA threads (reference System::Shutdown
         src/System.cc:421-453) and print the per-stage timing table (the
         reference's PrintTimeStats, src/System.cc:450-452)."""
+        self.tracker.flush_pending()
         if self.runtime is not None:
             self.runtime.shutdown(timeout)
             self.runtime = None
@@ -370,6 +385,7 @@ class SlamSystem:
         return self.tracker.state
 
     def export_trajectory(self):
+        self.tracker.flush_pending()
         return self.tracker.export_trajectory()
 
     def save_trajectory_tum(self, path: str):
@@ -440,6 +456,7 @@ class SlamSystem:
 
     def get_tracking_state(self) -> TrackState:
         """Reference GetTrackingState (src/System.cc:752)."""
+        self.tracker.flush_pending()
         return self.tracker.state
 
     def get_tracked_map_points(self) -> np.ndarray:
@@ -474,6 +491,7 @@ class SlamSystem:
         self.tracker.reset_for_new_map(self.atlas.current)
 
     def stats(self) -> dict:
+        self.tracker.flush_pending()
         ft = np.array(self.frame_times) if self.frame_times else np.zeros(1)
         out = {
             "n_frames": len(self.frame_times),

@@ -94,6 +94,13 @@ class TrackingParams:
     # RECENTLY_LOST dead-reckoning window with an initialized IMU (reference
     # time_recently_lost = 5 s, src/Tracking.cc:2044)
     time_recently_lost: float = 5.0
+    # software-pipelined tracking: the fused result of frame N is consumed at
+    # the start of call N+1, overlapping its device→host transfer with the
+    # next frame's extraction (the remote-TPU tunnel's ~25 ms round trip
+    # otherwise serializes; ~40 ms/frame sync vs ~25 ms pipelined). Info
+    # returned by track_* then describes the most recently FINALIZED frame
+    # and keyframe insertion lags one frame. Visual-only paths.
+    pipeline: bool = False
 
 
 class Tracker:
@@ -144,8 +151,8 @@ class Tracker:
         # under the remote-device tunnel every transfer is a round trip, so
         # the per-frame path uploads only an id list + pose and downloads one
         # packed buffer; see models/device_map.py and models/kernels.py)
-        from .device_map import DeviceMapMirror
-        self.mirror = DeviceMapMirror()
+        from .device_map import mirror_for
+        self._mirror_for = mirror_for
         self._cam_key = tuple(float(v) for v in self.cam_params)
         self._wh_key = (float(wh[0]), float(wh[1]))
         self.fused_track = kernels.fused_track_pooled(
@@ -185,6 +192,7 @@ class Tracker:
 
         self.init_frame: Frame | None = None
         self.last_frame: Frame | None = None
+        self._pending = None   # in-flight pipelined frame (TrackingParams.pipeline)
         self.velocity: tuple[np.ndarray, np.ndarray] | None = None  # T_cl
         self.ref_kf: int = -1
         self.last_kf_frame_id: int = -1
@@ -513,6 +521,8 @@ class Tracker:
             self.last_frame = None
 
     def process_frame(self, img: np.ndarray, ts: float) -> dict:
+        if self.p.pipeline and not self.imu_enabled:
+            return self._process_frame_pipelined(img, ts)
         self._timestamp_guard(ts)
         fid = self.n_frames
         self.n_frames += 1
@@ -537,6 +547,64 @@ class Tracker:
             self._log_trajectory(frame, tracked=ok)
         self.last_frame = frame
         return info
+
+    def _process_frame_pipelined(self, img: np.ndarray, ts: float) -> dict:
+        """One-frame-deep software pipeline (TrackingParams.pipeline): extract
+        frame N and dispatch its fused tracking immediately; its packed result
+        is pulled at the start of call N+1, so the tunnel round trip overlaps
+        the caller's inter-frame time + frame N+1's extraction dispatch."""
+        fid = self.n_frames
+        self.n_frames += 1
+        with self.timer.stage("1.orb_extraction"):
+            feats = self.extract(jnp.asarray(np.asarray(img, np.float32)))
+            frame = build_frame(fid, ts, feats)
+        info_prev = self.flush_pending()
+        self._timestamp_guard(ts)
+        with locked_current(self):
+            if self.state == TrackState.NOT_INITIALIZED:
+                ok = self._monocular_init(frame)
+                self._log_trajectory(frame, tracked=ok)
+                self.last_frame = frame
+                return {"state": self.state.name, "init": ok}
+            if self._can_fuse_track():
+                with self.timer.stage("3f.fused_dispatch"):
+                    pend = self._fused_dispatch(frame)
+                if pend is not None:
+                    self._pending = pend
+                    return info_prev if info_prev is not None else {
+                        "state": self.state.name, "pending": True}
+            with self.timer.stage("3.track_total"):
+                ok = self._track(frame, allow_fused=False)
+            self._log_trajectory(frame, tracked=ok)
+            self.last_frame = frame
+            return {"state": self.state.name,
+                    "inliers": frame.n_matched() if ok else 0}
+
+    def flush_pending(self) -> dict | None:
+        """Finalize the in-flight pipelined frame (no-op without one).
+        MUST be called before reading tracker state externally — the system
+        calls it from stats()/shutdown/trajectory export."""
+        pend = self._pending
+        if pend is None:
+            return None
+        self._pending = None
+        frame = pend["frame"]
+        with locked_current(self):
+            if pend["map"] is not self.map or \
+                    pend["map"].remap_epoch != pend.get("epoch", pend["map"].remap_epoch):
+                return None
+            self.current_frame = frame
+            with self.timer.stage("3g.fused_consume"):
+                ok = self._fused_consume(pend)
+            if ok:
+                self._post_track(frame, True)
+            else:
+                frame.feat_mp[:] = -1
+                ok = self._track(frame, allow_fused=False)
+            self._log_trajectory(frame, tracked=ok)
+            self.last_frame = frame
+            return {"state": self.state.name,
+                    "inliers": frame.n_matched() if ok else 0}
 
     def process_stereo_frame(self, img_l: np.ndarray, img_r: np.ndarray,
                              ts: float) -> dict:
@@ -893,15 +961,18 @@ class Tracker:
     # ------------------------------------------------------------------
     # tracking
     # ------------------------------------------------------------------
-    def _track(self, frame: Frame) -> bool:
+    def _can_fuse_track(self) -> bool:
+        return (self.state == TrackState.OK and self.use_fused_track
+                and not self.imu_initialized
+                and self.velocity is not None and self.last_frame is not None
+                and self.p.local_passes == 1 and self.p.pose_starts == 1)
+
+    def _track(self, frame: Frame, allow_fused: bool = True) -> bool:
         # registered so a mid-frame world transform (IMU init / VIBA gravity-
         # scale refinement) can remap the in-flight pose too (try_imu_init)
         self.current_frame = frame
         ok = False
-        if (self.state == TrackState.OK and self.use_fused_track
-                and not self.imu_initialized
-                and self.velocity is not None and self.last_frame is not None
-                and self.p.local_passes == 1 and self.p.pose_starts == 1):
+        if allow_fused and self._can_fuse_track():
             with self.timer.stage("3f.fused_track"):
                 ok = self._track_fused(frame)
         if not ok and self.state == TrackState.OK:
@@ -935,6 +1006,12 @@ class Tracker:
             with self.timer.stage("3b.track_local_map"):
                 ok = self._track_local_map(frame)
 
+        self._post_track(frame, ok)
+        return ok
+
+    def _post_track(self, frame: Frame, ok: bool) -> None:
+        """State-machine epilogue shared by the synchronous cascade and the
+        pipelined consume: motion model, keyframe policy, loss handling."""
         if ok:
             self.state = TrackState.OK
             frame.tracked = True
@@ -991,7 +1068,6 @@ class Tracker:
             if new_map_due and self.on_tracking_lost is not None:
                 self.on_tracking_lost()
                 self.consecutive_lost = 0
-        return ok
 
     def reset_for_new_map(self, new_map: MapState):
         """Re-point the tracker at a fresh (or merged) map."""
@@ -1092,7 +1168,7 @@ class Tracker:
             self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale,
             self._cam_key, self._wh_key,
             float(radius), float(ratio), int(max_dist), float(view_cos))
-        mpf, mpu = self.mirror.sync(m)
+        mpf, mpu = self._mirror_for(m).sync(m)
         dev = frame.dev
         if dev is not None:
             fxy, fdesc, foct, fval = dev.xy, dev.desc, dev.octave, dev.valid
@@ -1157,7 +1233,7 @@ class Tracker:
             pose_in[12:21] = np.asarray(pR).reshape(-1)
             pose_in[21:24] = pt
             pose_in[24] = eps
-            mpf, _ = self.mirror.sync(m)
+            mpf, _ = self._mirror_for(m).sync(m)
             dev = frame.dev
             out = np.asarray(self.pose_opt_pooled(
                 jnp.asarray(pose_in), jnp.asarray(frame.feat_mp), mpf,
@@ -1274,7 +1350,7 @@ class Tracker:
         return inl >= p.min_motion_inliers
 
     def _track_fused(self, frame: Frame) -> bool:
-        """One-dispatch visual tracking (kernels.fused_track_kernel): the
+        """One-dispatch visual tracking (kernels.fused_track_pooled): the
         motion-model stage and the local-map stage — two matchings and two
         pose LMs — run as a single device call; the host does prediction,
         candidate gathering, and one bookkeeping pass on the results.
@@ -1284,17 +1360,32 @@ class Tracker:
         UpdateLocalKeyFrames — the set changes slowly); the reference
         keyframe updates from the returned matches. Falls back (returns
         False) to the staged cascade on thin matches."""
+        pend = self._fused_dispatch(frame)
+        if pend is None:
+            return False
+        return self._fused_consume(pend)
+
+    def _fused_dispatch(self, frame: Frame):
+        """Host prep + uploads + ONE fused dispatch + async result download.
+        Returns a pending record for :meth:`_fused_consume`, or None when the
+        fused path does not apply (caller falls back to the staged cascade)."""
         p = self.p
         m = self.map
         lf = self.last_frame
         if self.ref_kf < 0 or not m.kf_valid[self.ref_kf]:
-            return False
+            # reference keyframe culled since last frame: re-anchor on the
+            # newest surviving keyframe (reference reassigns mpReferenceKF on
+            # SetBadFlag) instead of dropping to the staged fallback
+            vk = m.valid_kf_ids()
+            if len(vk) == 0:
+                return None
+            self.ref_kf = int(vk[-1])
         self._predict_pose(frame)
         last_mps = lf.feat_mp[lf.feat_mp >= 0]
         ids_last = np.unique(last_mps)
         ids_last = ids_last[m.mp_valid[ids_last]]
         if len(ids_last) < p.min_motion_matches:
-            return False
+            return None
         kfs = np.unique(np.concatenate(
             [[self.ref_kf], m.best_covisible(self.ref_kf, p.max_local_kfs - 1)]
         )).astype(np.int64)
@@ -1320,13 +1411,49 @@ class Tracker:
         pose_in[12:21] = np.asarray(pR).reshape(-1)
         pose_in[21:24] = pt
         pose_in[24] = eps
-        mpf, mpu = self.mirror.sync(m)
+        mpf, mpu = self._mirror_for(m).sync(m)
         dev = frame.dev
-        N = self.orb_cfg.total_capacity
-        out = np.asarray(self.fused_track(
+        out_dev = self.fused_track(
             jnp.asarray(pose_in), jnp.asarray(ids_packed), mpf, mpu,
             dev.xy, dev.desc, dev.octave, dev.valid,
-            jnp.asarray(frame.ur), cl=cap_l))
+            jnp.asarray(frame.ur), cl=cap_l)
+        # pull the packed result in a background thread: np.asarray blocks on
+        # the tunnel round trip with the GIL released, so by consume time
+        # (next frame) the data has landed and join() is ~free
+        import threading
+        holder: dict = {}
+
+        def _pull(arr=out_dev, h=holder):
+            try:
+                h["v"] = np.asarray(arr)
+            except Exception as e:   # surfaced at consume
+                h["e"] = e
+        th = threading.Thread(target=_pull, daemon=True)
+        th.start()
+        return {"frame": frame, "out": out_dev, "ids": ids_packed,
+                "n_loc": len(loc_ids), "cap_l": cap_l, "cap_c": cap_c,
+                "map": m, "epoch": m.remap_epoch,
+                "thread": th, "holder": holder}
+
+    def _fused_consume(self, pend) -> bool:
+        p = self.p
+        m = pend["map"]
+        frame = pend["frame"]
+        cap_l = pend["cap_l"]
+        cap_c = pend["cap_c"]
+        ids_packed = pend["ids"]
+        nc = pend["n_loc"]
+        loc_ids = ids_packed[cap_l: cap_l + nc]
+        N = self.orb_cfg.total_capacity
+        th = pend.get("thread")
+        if th is not None:
+            th.join()
+            holder = pend["holder"]
+            if "e" in holder:
+                raise holder["e"]
+            out = holder["v"]
+        else:
+            out = np.asarray(pend["out"])
         Rn = out[0:9].view(np.float32).reshape(3, 3).copy()
         tn = out[9:12].view(np.float32).copy()
         n1 = int(out[12])
@@ -1346,7 +1473,6 @@ class Tracker:
         sel_l = al >= 0
         frame.feat_mp[sel_l] = ids_packed[al[sel_l]]
         sel_c = ac >= 0
-        nc = len(loc_ids)
         sel_c &= ac < nc
         frame.feat_mp[sel_c] = ids_packed[cap_l + ac[sel_c]]
         # found/visible counters (reference IncreaseFound/IncreaseVisible)
@@ -1573,6 +1699,13 @@ class Tracker:
             ref_mps0 = m.kf_feat_mp[self.ref_kf]
             ref_mps0 = ref_mps0[ref_mps0 >= 0]
             ref_mps0 = ref_mps0[m.mp_valid[ref_mps0]]
+            # reference nRefMatches counts only >= minObs-observed points
+            # (KeyFrame::TrackedMapPoints, src/Tracking.cc:3509-3523) —
+            # without it, a fresh keyframe's 2-obs triangulations inflate
+            # n_ref0 and c2 fires every frame (insert→cull churn)
+            if len(ref_mps0):
+                min_obs0 = 3 if int(m.kf_valid[: m.n_kf].sum()) > 2 else 2
+                ref_mps0 = ref_mps0[m.obs_count(ref_mps0) >= min_obs0]
             n_ref0 = max(len(ref_mps0), 1)
             n_tr = frame.n_matched()
             c1 = frame.frame_id >= self.last_kf_frame_id + p.kf_interval_override

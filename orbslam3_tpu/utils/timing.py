@@ -38,7 +38,9 @@ class StageTimer:
         for name, xs in self.samples.items():
             n = len(xs)
             mean = sum(xs) / n
+            med = sorted(xs)[n // 2]
             out[name] = {"mean_ms": mean * 1e3, "n": n,
+                         "median_ms": med * 1e3,
                          "total_s": sum(xs),
                          "max_ms": max(xs) * 1e3}
         return out

@@ -17,10 +17,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: kernels compile once across the whole test
-# suite (and across runs) instead of once per test process
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def dense_tracking_params(**kw):

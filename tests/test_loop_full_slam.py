@@ -22,7 +22,12 @@ def walk_pose(i: int):
     ph = 2 * np.pi * (i % PERIOD) / PERIOD
     c = np.array([2.2 * np.sin(ph), 0.5 * np.sin(2 * ph),
                   2.0 + 1.1 * np.cos(ph)])
-    yaw = 0.25 * np.sin(ph + 0.7)
+    # yaw sweeps a full turn around the loop so the mid-loop views share
+    # NOTHING with the start — covisibility with the early keyframes decays
+    # to zero and the revisit can only be stitched by place recognition (the
+    # round-3 tracker otherwise keeps the map connected through the whole
+    # walk and there is legitimately no loop to close)
+    yaw = ph + 0.25 * np.sin(ph + 0.7)
     cy, sy = np.cos(yaw), np.sin(yaw)
     R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
     R = R_wc.T
