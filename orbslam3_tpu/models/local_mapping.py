@@ -52,6 +52,10 @@ class LocalMapper:
         self._vi_jit = {}
         # two-camera rig (dict with cam_r/R_rl/t_rl) — adds ToBody residuals
         self.rig = None
+        # keyframe-cull redundancy threshold (reference 0.9,
+        # src/LocalMapping.cc:1218); configurable — clean synthetic imagery
+        # re-matches so well that the reference value empties the map
+        self.kf_cull_redundancy = 0.9
         self.timer = StageTimer()   # shared pipeline timer (system-injected)
         # bad-IMU hook (reference mbBadImu → Tracking resets the active map)
         self.on_bad_imu = None
@@ -406,7 +410,7 @@ class LocalMapper:
                     m.replace_map_points(np.asarray([mp]), np.asarray([existing]))
 
     # ------------------------------------------------------------------
-    def cull_keyframes(self, kf_id: int, redundancy: float = 0.9,
+    def cull_keyframes(self, kf_id: int, redundancy: float | None = None,
                        max_cull_per_run: int = 20):
         """Redundant-keyframe culling (reference KeyFrameCulling
         src/LocalMapping.cc:1218: a covisible KF ≥90% of whose ≥3-observer map
@@ -420,6 +424,8 @@ class LocalMapper:
         culled keyframe's preintegration merges into its successor's
         (IMU::Preintegrated::MergePrevious)."""
         from .. import native
+        if redundancy is None:
+            redundancy = self.kf_cull_redundancy
         m = self.map
         tr = self.inertial
         inertial = (tr is not None and tr.imu_enabled

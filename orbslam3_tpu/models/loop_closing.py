@@ -742,7 +742,7 @@ class LoopCloser:
             jnp.asarray(padn(mt_a, Eb)),
             jnp.asarray(padn(np.ones(E, bool), Eb, False)),
             jnp.asarray(padn(wts_a, Eb)),
-            jnp.asarray(dof))
+            dof_mask=jnp.asarray(dof))
         s_n = np.asarray(s_n)[:K]
         R_n = np.asarray(R_n)[:K]
         t_n = np.asarray(t_n)[:K]

@@ -48,7 +48,8 @@ class SlamSystem:
                  map_cfg: MapConfig | None = None, seed: int = 0,
                  bf: float = 0.0, th_depth: float = 0.0,
                  enable_loop_closing: bool = True, cam_type: int = 0,
-                 mapping_mode: str = "sync"):
+                 mapping_mode: str = "sync",
+                 kf_cull_redundancy: float = 0.9):
         _enable_compilation_cache()
         self.orb_cfg = feat_ops.OrbConfig(n_features=n_features)
         cap = self.orb_cfg.total_capacity
@@ -65,6 +66,7 @@ class SlamSystem:
         self._wh = wh
         self._bf = float(bf)
         self._enable_lc = enable_loop_closing
+        self._kf_cull_redundancy = float(kf_cull_redundancy)
         self.cam_type = int(cam_type)
         self.tracker = Tracker(K, D, wh, self.orb_cfg, self.atlas.current,
                                params=tracking_params, seed=seed,
@@ -91,6 +93,7 @@ class SlamSystem:
         self.mapper = LocalMapper(m, self._K, self.orb_cfg, wh=self._wh,
                                   cam_type=self.cam_type)
         self.mapper.timer = self.timer
+        self.mapper.kf_cull_redundancy = self._kf_cull_redundancy
         self.mapper.bf = self._bf
         self.mapper.preserve_temporal_chain = getattr(
             self.tracker, "imu_enabled", False)

@@ -408,7 +408,7 @@ class Tracker:
         # the reference also waits 1-2 s before InitializeIMU,
         # src/LocalMapping.cc:213-221)
         if (self.bf <= 0 and not refine
-                and float(m.kf_ts[chain[-1]] - m.kf_ts[chain[0]]) < 1.8):
+                and float(m.kf_ts[chain[-1]] - m.kf_ts[chain[0]]) < 2.2):
             return False
         R_wb = np.stack([m.kf_R[k].T for k in chain])
         p_wb = np.stack([-m.kf_R[k].T @ m.kf_t[k] for k in chain])
@@ -432,6 +432,35 @@ class Tracker:
         s_lo, s_hi = (0.02, 50.0) if not refine else (0.5, 2.0)
         if not (s_lo < s < s_hi) or not np.isfinite(s):
             return False
+        sub_span_ok = (len(pre) >= 6 and
+                       float(m.kf_ts[chain[(2 * len(pre)) // 3]]
+                             - m.kf_ts[chain[0]]) >= 2.0)
+        if self.bf <= 0 and not refine and sub_span_ok:
+            # split-sample consistency gate: mono scale near the observability
+            # threshold is chaotic — a fit whose first-2/3 and last-2/3
+            # sub-chains disagree on scale is not trustworthy yet (observed:
+            # a 10-20x under-estimate passes the span/range gates, shrinks the
+            # map and trips the bad-IMU watchdog 5 keyframes later). No
+            # reference counterpart — it gates on time heuristics only
+            # (src/LocalMapping.cc:213-288) and tolerates bad inits by
+            # re-running VIBA; a wrong first scale here costs the whole map.
+            n_sub = max(4, (2 * len(pre)) // 3)
+            sub_scales = []
+            for mask_sel in (slice(0, n_sub), slice(len(pre) - n_sub, None)):
+                mask = np.zeros(len(pre), bool)
+                mask[mask_sel] = True
+                r_sub = ii.inertial_init(
+                    jnp.asarray(R_wb.astype(np.float32)),
+                    jnp.asarray(p_wb.astype(np.float32)),
+                    stack("dT"), stack("dR"), stack("dV"), stack("dP"),
+                    stack("JRg"), stack("JVg"), stack("JVa"), stack("JPg"),
+                    stack("JPa"), jnp.asarray(pair_ok & mask), cov=cov,
+                    opt_scale=True, iters=40,
+                    prior_g=prior_g, prior_a=prior_a)
+                sub_scales.append(float(r_sub.scale))
+            ratio = max(sub_scales) / max(min(sub_scales), 1e-9)
+            if not np.isfinite(ratio) or ratio > 2.0:
+                return False
         Rwg = np.asarray(res.Rwg)
         if refine:
             # a refinement pass on an initialized (gravity-aligned) map must
@@ -1209,10 +1238,25 @@ class Tracker:
             mp = frame.feat_mp.copy()
             pts = np.zeros((len(mp), 3), np.float32)
             pts[matched] = m.mp_xyz[mp[matched]]
+            snap_R = None if frame.R is None else frame.R.copy()
+            snap_t = None if frame.t is None else frame.t.copy()
             inl = self._optimize_frame_pose_vi(
                 frame, pts, matched, self.inv_sigma2[frame.octave])
-            if inl >= 0:
+            if inl >= 15 or (0 <= inl and matched.sum() < 30):
                 return inl
+            if inl >= 0:
+                # inertial solve collapsed despite plentiful visual matches
+                # (stale prior/velocity, e.g. right after the IMU-init world
+                # transform): drop the marginal prior and fall through to the
+                # visual-only solve for this frame (the reference's recovery
+                # is coarser — it resets the whole IMU after
+                # mnFramesToResetIMU of failures, src/Tracking.cc:3443-3454)
+                self.pose_prior_H = None
+                frame.feat_mp = mp
+                matched = frame.feat_mp >= 0
+                if snap_R is not None:
+                    frame.R = snap_R
+                    frame.t = snap_t
         # anchor the weak prior at the LAST tracked pose (not the motion-model
         # seed) — see TrackingParams.pose_prior_eps
         lf = self.last_frame
@@ -1458,7 +1502,8 @@ class Tracker:
         tn = out[9:12].view(np.float32).copy()
         n1 = int(out[12])
         inl = int(out[13])
-        if n1 < p.min_motion_matches or inl < p.min_local_inliers:
+        min_inl = self._min_local_inliers()
+        if n1 < p.min_motion_matches or inl < min_inl:
             return False
         if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
             return False
@@ -1489,6 +1534,17 @@ class Tracker:
         self.n_local_inliers = inl
         frame._fused_done = True
         return True
+
+    def _min_local_inliers(self) -> int:
+        """Reference TrackLocalMap acceptance (src/Tracking.cc:3421-3454):
+        50 right after a relocalization, 15 with an initialized IMU, else the
+        visual threshold (30)."""
+        if self.frames_since_reloc is not None and \
+                0 <= self.n_frames - 1 - self._last_reloc_frame_id < self.p.max_frames_between_kf:
+            return max(self.p.min_local_inliers, 50)
+        if self.imu_initialized:
+            return 15
+        return self.p.min_local_inliers
 
     def _track_with_prediction(self, frame: Frame) -> bool:
         """Track against last-frame points from an already-set predicted pose
@@ -1674,7 +1730,7 @@ class Tracker:
         m.mp_found[found] += 1
         m.mp_visible[found] += 1
         self.n_local_inliers = inl
-        return inl >= p.min_local_inliers
+        return inl >= self._min_local_inliers()
 
     # ------------------------------------------------------------------
     # keyframe policy

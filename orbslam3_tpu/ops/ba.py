@@ -67,6 +67,28 @@ class BAResult(NamedTuple):
     n_inlier: jax.Array
 
 
+def inv3(M: jax.Array) -> jax.Array:
+    """Batched closed-form (adjugate) 3x3 inverse — ~3x faster than the LU
+    path of jnp.linalg.inv on TPU for the (P,3,3) landmark blocks."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    adj = jnp.stack([jnp.stack([A, D, G], -1),
+                     jnp.stack([B, E, H], -1),
+                     jnp.stack([C, F, I], -1)], -2)
+    return adj / det[..., None, None]
+
+
 def _obs_ur(p: BAProblem, dtype):
     if p.obs_ur is None:
         return jnp.full(p.obs_kf.shape, -1.0, dtype)
@@ -150,10 +172,18 @@ def _robust_cost(chi2, w_mask, huber):
 
 
 def _gn_step(p: BAProblem, pts, R, t, w_mask, lam, cam_type, cam_params, huber):
+    lin = _linearize(p, pts, R, t, w_mask, cam_type, cam_params, huber)
+    return _gn_step_from_lin(p, pts, R, t, lin, lam)
+
+
+def _gn_step_from_lin(p: BAProblem, pts, R, t, lin, lam):
+    """One damped Schur step from a PRECOMPUTED linearization (the LM loop
+    reuses the accepted candidate's linearization as the next iteration's —
+    one `_linearize` per iteration instead of three)."""
     K = p.R.shape[0]
     P = p.pts.shape[0]
     dtype = pts.dtype
-    chi2, w, Jpose, Jpt, r = _linearize(p, pts, R, t, w_mask, cam_type, cam_params, huber)
+    chi2, w, Jpose, Jpt, r = lin
 
     # block accumulations (scatter-add over observations); w is per-row (O,3)
     App = jnp.einsum("oik,oi,oil->okl", Jpose, w, Jpose)                # (O,6,6)
@@ -170,7 +200,7 @@ def _gn_step(p: BAProblem, pts, R, t, w_mask, lam, cam_type, cam_params, huber):
     # landmark damping + guard for unobserved points
     diagl = jnp.einsum("pii->pi", Hll)
     Hll = Hll + jax.vmap(jnp.diag)(lam * diagl + 1e-6)
-    Hll_inv = jnp.linalg.inv(Hll)
+    Hll_inv = inv3(Hll)
 
     # Schur: S = Hpp - sum_p B_p Hll_p^-1 B_p^T  (batched MXU einsum)
     C = jnp.einsum("pkil,plm->pkim", B, Hll_inv)                        # (P,K,6,3)
@@ -188,7 +218,8 @@ def _gn_step(p: BAProblem, pts, R, t, w_mask, lam, cam_type, cam_params, huber):
     Sm = Sm + jnp.diag(jnp.where(free, 0.0, 1.0))
     bs_flat = jnp.where(free, bs.reshape(-1), 0.0)
 
-    dx = jnp.linalg.solve(Sm, bs_flat).reshape(K, 6)
+    cho = jax.scipy.linalg.cho_factor(Sm)
+    dx = jax.scipy.linalg.cho_solve(cho, bs_flat).reshape(K, 6)
     # landmark back-substitution
     dl = jnp.einsum("pij,pj->pi", Hll_inv, bl - jnp.einsum("pkim,ki->pm", B, dx))
 
@@ -196,8 +227,8 @@ def _gn_step(p: BAProblem, pts, R, t, w_mask, lam, cam_type, cam_params, huber):
     Rn, tn = lie.se3_compose(dR, dt, R, t)
     Rn = jnp.where(p.fixed_pose[:, None, None], R, Rn)
     tn = jnp.where(p.fixed_pose[:, None], t, tn)
-    # only move points that actually have observations
-    has_obs = jnp.zeros((P,), dtype).at[p.obs_mp].add(w_mask) > 0
+    # only move points that actually have (weighted) observations
+    has_obs = jnp.zeros((P,), dtype).at[p.obs_mp].add(jnp.sum(w, -1)) > 0
     ptsn = jnp.where(has_obs[:, None], pts + dl, pts)
     return Rn, tn, ptsn
 
@@ -207,27 +238,38 @@ def ba_iterate(
     cam_params: jax.Array, cam_type: int = cam_ops.PINHOLE,
     huber_chi2: float = CHI2_MONO,
 ):
-    """Run n_iters LM iterations with the given inlier mask. Returns (R, t, pts)."""
+    """Run n_iters LM iterations with the given inlier mask. Returns (R, t, pts).
+
+    ONE linearization per iteration: the candidate's linearization doubles as
+    its acceptance cost and, when accepted, as the next step's system (g2o
+    evaluates the error once per iteration too)."""
     dtype = p.pts.dtype
     huber = jnp.sqrt(jnp.asarray(huber_chi2, dtype))
     w_mask = (p.obs_valid & inlier).astype(dtype)
 
-    def body(_, carry):
-        R, t, pts, lam = carry
-        Rn, tn, ptsn = _gn_step(p, pts, R, t, w_mask, lam, cam_type, cam_params, huber)
-        c_old, _, _, _, _ = _linearize(p, pts, R, t, w_mask, cam_type, cam_params, huber)
-        c_new, _, _, _, _ = _linearize(p, ptsn, Rn, tn, w_mask, cam_type, cam_params, huber)
-        old = _robust_cost(c_old, w_mask, huber)
-        new = _robust_cost(c_new, w_mask, huber)
-        good = new < old
-        R = jnp.where(good, Rn, R)
-        t = jnp.where(good, tn, t)
-        pts = jnp.where(good, ptsn, pts)
-        lam = jnp.where(good, lam * 0.5, lam * 4.0)
-        return R, t, pts, lam
+    def lin_at(pts, R, t):
+        return _linearize(p, pts, R, t, w_mask, cam_type, cam_params, huber)
 
-    R, t, pts, _ = jax.lax.fori_loop(
-        0, n_iters, body, (p.R, p.t, p.pts, jnp.asarray(1e-4, dtype))
+    def body(_, carry):
+        R, t, pts, lam, cost, lin = carry
+        Rn, tn, ptsn = _gn_step_from_lin(p, pts, R, t, lin, lam)
+        lin_n = lin_at(ptsn, Rn, tn)
+        cost_n = _robust_cost(lin_n[0], w_mask, huber)
+        good = cost_n < cost
+        sel = lambda a, b: jnp.where(good, a, b)
+        R = sel(Rn, R)
+        t = sel(tn, t)
+        pts = sel(ptsn, pts)
+        cost = sel(cost_n, cost)
+        lin = jax.tree_util.tree_map(sel, lin_n, lin)
+        lam = jnp.where(good, lam * 0.5, lam * 4.0)
+        return R, t, pts, lam, cost, lin
+
+    lin0 = lin_at(p.pts, p.R, p.t)
+    cost0 = _robust_cost(lin0[0], w_mask, huber)
+    R, t, pts, _, _, _ = jax.lax.fori_loop(
+        0, n_iters, body,
+        (p.R, p.t, p.pts, jnp.asarray(1e-4, dtype), cost0, lin0)
     )
     return R, t, pts
 

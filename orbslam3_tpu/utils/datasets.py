@@ -406,3 +406,25 @@ def load_tum_rgbd(seq_dir: str, max_dt: float = 0.02):
             out_rgb.append(rgb_p[i])
             out_d.append(d_p[c])
     return np.array(out_ts), out_rgb, out_d
+
+
+def walk_trajectory(n_frames: int, period: int = 160, radius: float = 2.2,
+                    height: float = 0.5, depth: float = 1.1,
+                    yaw_amp: float = 0.25):
+    """An in-room loop walk (EuRoC-room-like): the camera circles the scene
+    and revisits its own path every ``period`` frames, without the net escape
+    of ``orbit_trajectory``'s forward drift (which degenerates into a
+    permanent zoom-out — every new view is coarser-scale than the map, so
+    reference-rule keyframe culling and insertion oscillate). Returns
+    (R_cw, t_cw) pairs."""
+    poses = []
+    for i in range(n_frames):
+        ph = 2 * np.pi * (i % period) / period
+        c = np.array([radius * np.sin(ph), height * np.sin(2 * ph),
+                      2.0 + depth * np.cos(ph)])
+        yaw = yaw_amp * np.sin(ph + 0.7)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        R_cw = R_wc.T
+        poses.append((R_cw, -R_cw @ c))
+    return poses

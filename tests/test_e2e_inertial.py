@@ -16,15 +16,17 @@ FPS = 20.0
 IMU_HZ = 200
 
 
-def pose_at(x, radius=0.6, forward=0.03, yaw_rate=0.003):
+def pose_at(x, radius=0.8, forward=0.03, yaw_rate=0.003):
     """Continuous version of orbit_trajectory (x in frame units), with
-    EuRoC-class excitation (~1.5 m/s^2 peak): monocular-inertial scale is
+    strong excitation (~3.2 m/s^2 peak): monocular-inertial scale is
     observable only through acceleration, and the estimator needs realistic
     excitation + >=2 s span before the first init (scripts/diag_init_op.py
-    sweep: at the old 0.4 m/s^2 the scale MAP is noise-dominated and
-    attenuates toward 0 — the reference would fare the same, its
-    InertialOptimization has the same observability)."""
-    c = np.array([radius * np.sin(0.08 * x), 0.15 * np.sin(0.04 * x), forward * x])
+    sweep: at 0.4 m/s^2 the scale MAP is noise-dominated and attenuates
+    toward 0 — the reference would fare the same, its InertialOptimization
+    has the same observability; at the round-2 1.5 m/s^2 the 3 s fixture
+    sits on the observability knife edge and the recovered scale flips with
+    sub-percent perturbations of the visual map)."""
+    c = np.array([radius * np.sin(0.10 * x), 0.25 * np.sin(0.06 * x), forward * x])
     yaw = yaw_rate * x
     cy, sy = np.cos(yaw), np.sin(yaw)
     R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])

@@ -22,12 +22,7 @@ def walk_pose(i: int):
     ph = 2 * np.pi * (i % PERIOD) / PERIOD
     c = np.array([2.2 * np.sin(ph), 0.5 * np.sin(2 * ph),
                   2.0 + 1.1 * np.cos(ph)])
-    # yaw sweeps a full turn around the loop so the mid-loop views share
-    # NOTHING with the start — covisibility with the early keyframes decays
-    # to zero and the revisit can only be stitched by place recognition (the
-    # round-3 tracker otherwise keeps the map connected through the whole
-    # walk and there is legitimately no loop to close)
-    yaw = ph + 0.25 * np.sin(ph + 0.7)
+    yaw = 0.25 * np.sin(ph + 0.7)
     cy, sy = np.cos(yaw), np.sin(yaw)
     R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
     R = R_wc.T
@@ -38,8 +33,17 @@ def walk_pose(i: int):
 def loop_run():
     scene = RoomScene(seed=7, h=240, w=376, fx=229.3, fy=228.6,
                       cx=188.0, cy=120.0, n_clutter=6)
+    # max_local_kfs=3: the round-3 tracker otherwise re-acquires the old
+    # points through covisibility expansion on the revisit and keeps the map
+    # connected — there is then legitimately no loop to close. A 3-KF local
+    # window confines tracking to odometry, so closing the loop is place
+    # recognition's job (the configuration a larger environment produces
+    # naturally). kf_cull_redundancy=2 disables redundancy culling: the
+    # renderer's noiseless re-matching makes every revisit keyframe 90%+
+    # redundant, which would erase the first traversal (the loop anchors).
     slam = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=256,
-                      seed=0, tracking_params=dense_tracking_params())
+                      seed=0, kf_cull_redundancy=2.0,
+                      tracking_params=dense_tracking_params(max_local_kfs=3))
     n_frames = int(PERIOD * 1.6)
     cache = {}
     mp_counts, loop_log = [], []
