@@ -90,6 +90,19 @@ class LocalMapper:
             with self.timer.stage("5.kf_insert"):
                 m.refresh_map_points(
                     np.unique(m.kf_feat_mp[kf_id][m.kf_feat_mp[kf_id] >= 0]))
+                # spanning-tree parent = most-covisible earlier keyframe
+                # (reference KeyFrame::UpdateConnections first-connection
+                # parent assignment, src/KeyFrame.cc:515-523)
+                if m.kf_parent[kf_id] < 0:
+                    covis = m.covisibility_row(kf_id)
+                    covis[kf_id:] = 0     # parents precede their children
+                    if covis.max() >= 15:
+                        m.kf_parent[kf_id] = int(np.argmax(covis))
+                    else:
+                        earlier = [int(v) for v in m.valid_kf_ids()
+                                   if v < kf_id]
+                        if earlier:
+                            m.kf_parent[kf_id] = earlier[-1]
             if initial:
                 # initial map: global BA over the 2 bootstrap KFs (reference
                 # CreateInitialMapMonocular runs GlobalBundleAdjustemnt(20))
@@ -795,9 +808,16 @@ class LocalMapper:
                     old_t[k] = m.kf_t[k]
                     if not m.kf_valid[k]:
                         continue
-                    w = m.covisibility_row(k)
-                    w[~in_snap[: len(w)]] = 0
-                    a = int(np.argmax(w)) if w.max() > 0 else kfs[-1]
+                    # anchor = spanning-tree parent when it was in the GBA
+                    # snapshot (reference walks mpParent's mTcwBefGBA,
+                    # src/LoopClosing.cc:2640-2830), else most covisible
+                    pa = int(m.kf_parent[k])
+                    if 0 <= pa < len(in_snap) and in_snap[pa] and m.kf_valid[pa]:
+                        a = pa
+                    else:
+                        w = m.covisibility_row(k)
+                        w[~in_snap[: len(w)]] = 0
+                        a = int(np.argmax(w)) if w.max() > 0 else kfs[-1]
                     Ra_rel = old_R[a].T @ m.kf_R[a]
                     ta_rel = old_R[a].T @ (m.kf_t[a] - old_t[a])
                     m.kf_R[k] = (old_R[k] @ Ra_rel).astype(np.float32)

@@ -156,6 +156,11 @@ class LoopCloser:
             self._db_rows = n_kf
         return self._db_dev
 
+    def _db_mark_dirty(self, k: int):
+        """Row ``k`` (re)written on host after it was already synced: shrink
+        the synced prefix so the next query re-uploads from there."""
+        self._db_rows = min(self._db_rows, int(k))
+
     def _db_invalidate(self):
         self._db_dev = None
         self._db_rows = 0
@@ -213,6 +218,7 @@ class LoopCloser:
                                    jnp.asarray(m.kf_feat_valid[kf_id]))
             self.bow_db[kf_id] = np.asarray(self.bow(words))
             self.bow_filled[kf_id] = True
+            self._db_mark_dirty(kf_id)
 
             if m.n_kf < self.min_kfs:
                 return False
@@ -643,6 +649,22 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _correct_loop(self, kf1: int, kf2: int, S21):
         """Pose-graph correction (reference CorrectLoop + OptimizeEssentialGraph)."""
+        s21, R21, t21 = S21
+        s12 = 1.0 / s21
+        R12 = R21.T
+        t12 = -s12 * (R12 @ t21)
+        self._essential_graph(fixed_ids=[int(kf2)],
+                              extra_edge=(int(kf1), int(kf2), s12, R12, t12, 5.0))
+
+    def optimize_essential_graph(self, fixed_ids):
+        """Distribute residual stress over the whole map after a merge
+        (reference MergeLocal runs OptimizeEssentialGraph on the keyframes
+        outside the welding window, src/LoopClosing.cc:2141): odometry +
+        spanning-tree + covisibility + stored loop edges, welding-window
+        keyframes fixed."""
+        self._essential_graph(fixed_ids=[int(k) for k in fixed_ids])
+
+    def _essential_graph(self, fixed_ids, extra_edge=None):
         m = self.map
         kfs = m.valid_kf_ids()
         K = len(kfs)
@@ -667,9 +689,19 @@ class LoopCloser:
             edges_i.append(ia); edges_j.append(ib)
             ms.append(1.0); mR.append(Rab); mt.append(tab); wts.append(w)
 
-        # odometry chain + covisibility (≥100 shared) edges
+        # odometry chain + spanning-tree + covisibility (≥100 shared) edges
+        # (reference OptimizeEssentialGraph: spanning tree + covis≥100 +
+        # loop/merge edges, src/Optimizer.cc:2400-2471)
         for a, b in zip(kfs[1:], kfs[:-1]):
             add_edge(int(a), int(b))
+        seen_parent = set()
+        for a in kfs:
+            pa = int(m.kf_parent[int(a)])
+            if pa >= 0 and m.kf_valid[pa] and abs(pa - int(a)) > 1:
+                key = (min(int(a), pa), max(int(a), pa))
+                if key not in seen_parent:
+                    seen_parent.add(key)
+                    add_edge(int(a), pa, w=1.0)
         for a in kfs:
             row = m.covisibility_row(int(a))
             for b in np.nonzero(row >= 100)[0]:
@@ -682,15 +714,17 @@ class LoopCloser:
             add_edge(int(a), int(b), w=5.0)
         # the loop edge with the MEASURED Sim3: S_12 = S21⁻¹ relates nodes
         # S_kf1 ∘ S_kf2⁻¹
-        s21, R21, t21 = S21
-        s12 = 1.0 / s21
-        R12 = R21.T
-        t12 = -s12 * (R12 @ t21)
-        edges_i.append(lut[kf1]); edges_j.append(lut[kf2])
-        ms.append(s12); mR.append(R12); mt.append(t12); wts.append(5.0)
+        if extra_edge is not None:
+            e1, e2, s12, R12, t12, w12 = extra_edge
+            edges_i.append(lut[e1]); edges_j.append(lut[e2])
+            ms.append(s12); mR.append(R12); mt.append(t12); wts.append(w12)
 
         fixed = np.zeros(K, bool)
-        fixed[lut[kf2]] = True   # reference fixes the loop keyframe
+        for fk in fixed_ids:       # reference fixes the loop keyframe
+            if lut[fk] >= 0:
+                fixed[lut[fk]] = True
+        if not fixed.any():
+            fixed[0] = True
 
         if self.is_inertial():
             # yaw + translation only: gravity pins roll/pitch, IMU pins scale

@@ -101,6 +101,12 @@ class MapState:
         self.kf_vel = np.zeros((K, 3), np.float32)
         self.kf_bias_g = np.zeros((K, 3), np.float32)
         self.kf_bias_a = np.zeros((K, 3), np.float32)
+        # spanning tree (reference KeyFrame::mpParent, include/KeyFrame.h:
+        # 626-676): parent = most-covisible earlier keyframe, assigned by the
+        # mapper after the first covisibility update; -1 = root. Used for
+        # essential-graph skeleton edges, GBA correction propagation and
+        # trajectory re-anchoring past culled keyframes.
+        self.kf_parent = np.full(K, -1, np.int32)
         self.n_kf = 0
 
         # --- map-point pool ---
@@ -146,7 +152,7 @@ class MapState:
                   "kf_feat_xy", "kf_feat_angle", "kf_feat_octave",
                   "kf_feat_desc", "kf_feat_valid", "kf_feat_mp", "kf_feat_ur",
                   "kf_feat_depth", "kf_feat_uvr", "kf_vel", "kf_bias_g",
-                  "kf_bias_a")
+                  "kf_bias_a", "kf_parent")
     _MP_ARRAYS = ("mp_valid", "mp_xyz", "mp_desc", "mp_normal", "mp_min_dist",
                   "mp_max_dist", "mp_ref_kf", "mp_first_kf", "mp_visible",
                   "mp_found")
@@ -199,6 +205,18 @@ class MapState:
                 near = np.searchsorted(kf_keep, a[dang])
                 new[dang] = np.clip(near, 0, nk - 1)
             a[:] = new
+        # spanning-tree parents are kf ids too; a culled parent falls back to
+        # the nearest surviving predecessor (its compacted position)
+        pa = self.kf_parent[:nk]
+        ok = pa >= 0
+        newp = np.where(ok, kf_remap[np.clip(pa, 0, K_cap - 1)], -1)
+        dang = ok & (newp < 0)
+        if dang.any() and nk:
+            near = np.searchsorted(kf_keep, pa[dang]) - 1
+            newp[dang] = np.clip(near, -1, nk - 1)
+        # no self-parenting after fallback
+        newp = np.where(newp == np.arange(nk), -1, newp)
+        self.kf_parent[:nk] = newp
 
         self.remap_epoch += 1
         self.n_compactions += 1
@@ -217,7 +235,7 @@ class MapState:
         if grow_kf:
             for name in self._KF_ARRAYS:
                 a = getattr(self, name)
-                fill = (-1 if name == "kf_feat_mp"
+                fill = (-1 if name in ("kf_feat_mp", "kf_parent")
                         else (-1.0 if name in ("kf_feat_ur", "kf_feat_depth",
                                                "kf_feat_uvr") else 0))
                 b = np.full((newK,) + a.shape[1:], fill, a.dtype)
@@ -293,9 +311,16 @@ class MapState:
 
     def remove_keyframe(self, k: int):
         """Cull a keyframe (reference KeyFrame::SetBadFlag src/KeyFrame.cc:746):
-        detach its observations; spanning-tree bookkeeping is implicit because
-        trajectory export walks reference keyframes by validity."""
+        detach its observations and re-parent its spanning-tree children
+        (reference :758-888 picks the best covisible parent candidate; here
+        children inherit the culled node's parent — the grandparent — which
+        preserves connectivity and temporal ordering)."""
         self.kf_valid[k] = False
+        children = np.nonzero(self.kf_parent[: self.n_kf] == k)[0]
+        gp = int(self.kf_parent[k])
+        for c in children:
+            self.kf_parent[c] = gp if gp != c else -1
+        self.kf_parent[k] = -1
         mps = self.kf_feat_mp[k]
         obs = mps[mps >= 0]
         self.kf_feat_mp[k] = -1

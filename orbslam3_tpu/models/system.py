@@ -299,6 +299,17 @@ class SlamSystem:
             mapper._fuse_into(pts_nk, int(t), cap)
         m.refresh_map_points(pts_nk)
         mapper.local_ba(nk)
+        # distribute the residual merge stress over the rest of the map
+        # (reference MergeLocal: OptimizeEssentialGraph on keyframes outside
+        # the welding window, src/LoopClosing.cc:2141), welding window fixed
+        if self.loop_closer is not None and m.kf_valid[: m.n_kf].sum() > 4:
+            fixed = [nk] + [int(g) for g in group2]
+            try:
+                self.loop_closer.optimize_essential_graph(fixed)
+            except Exception as e:
+                from ..utils import verbose
+                verbose.print_mess(f"merge essential graph failed: {e!r}",
+                                   verbose.NORMAL)
 
     def _try_cross_map_reloc(self, frame) -> bool:
         """Relocalize into a stored map; success merges the current map into it

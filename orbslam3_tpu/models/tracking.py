@@ -1927,8 +1927,14 @@ class Tracker:
         valid = [int(v) for v in m.valid_kf_ids() if int(v) != k]
         if not valid:
             return
-        ts_k = float(m.kf_ts[k])
-        r2 = min(valid, key=lambda v: abs(float(m.kf_ts[v]) - ts_k))
+        # prefer the spanning-tree parent (reference walks mpParent past bad
+        # KFs, src/System.cc:612-616); nearest-timestamp fallback
+        par = int(m.kf_parent[k]) if hasattr(m, "kf_parent") else -1
+        if par >= 0 and par != k and m.kf_valid[par]:
+            r2 = par
+        else:
+            ts_k = float(m.kf_ts[k])
+            r2 = min(valid, key=lambda v: abs(float(m.kf_ts[v]) - ts_k))
         R_k, t_k = m.kf_R[k], m.kf_t[k]
         R_2, t_2 = m.kf_R[r2], m.kf_t[r2]
         R_k2 = R_k @ R_2.T                  # T_k_r2 = T_kw ∘ T_r2w⁻¹

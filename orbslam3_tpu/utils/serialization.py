@@ -15,7 +15,7 @@ import numpy as np
 from ..models.map import MapConfig, MapState
 
 _ARRAYS = [
-    "kf_valid", "kf_R", "kf_t", "kf_ts", "kf_frame_id",
+    "kf_valid", "kf_R", "kf_t", "kf_ts", "kf_frame_id", "kf_parent",
     "kf_feat_xy", "kf_feat_angle", "kf_feat_octave", "kf_feat_desc",
     "kf_feat_valid", "kf_feat_mp", "kf_feat_ur", "kf_feat_depth",
     "mp_valid", "mp_xyz", "mp_desc", "mp_normal", "mp_min_dist",
@@ -43,7 +43,8 @@ def load_map(path: str) -> MapState:
     m.n_kf = int(z["n_kf"])
     m.n_mp = int(z["n_mp"])
     for name in _ARRAYS:
-        getattr(m, name)[:] = z[name]
+        if name in z:
+            getattr(m, name)[:] = z[name]
     return m
 
 

@@ -148,3 +148,34 @@ def test_tracker_remap_integration():
     new_mp = f.feat_mp[0]
     k3 = 2
     assert new_mp in m.kf_feat_mp[k3]
+
+
+def test_spanning_tree_reparent_and_compact():
+    """Spanning tree (reference KeyFrame::mpParent): parent assignment
+    survives culling (children re-parent to the grandparent,
+    src/KeyFrame.cc:758-888) and compaction (value remap)."""
+    from orbslam3_tpu.models.map import MapConfig, MapState
+    cfg = MapConfig(max_keyframes=8, max_map_points=64, n_features=8)
+    m = MapState(cfg)
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        m.add_keyframe(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                       ts=float(i), frame_id=i,
+                       xy=rng.uniform(0, 10, (8, 2)).astype(np.float32),
+                       angle=np.zeros(8, np.float32),
+                       octave=np.zeros(8, np.int32),
+                       desc=np.zeros((8, 8), np.uint32),
+                       fvalid=np.ones(8, bool))
+    # chain 0 <- 1 <- 2 <- 3 <- 4
+    for k in range(1, 5):
+        m.kf_parent[k] = k - 1
+    # cull 2: its child 3 re-parents to 1 (grandparent)
+    m.remove_keyframe(2)
+    assert m.kf_parent[3] == 1
+    # compact: ids shift down, parent values remap
+    m.compact()
+    # surviving order: old 0,1,3,4 -> new 0,1,2,3
+    assert m.n_kf == 4
+    assert m.kf_parent[2] == 1       # old 3 -> parent old 1 -> new 1
+    assert m.kf_parent[3] == 2       # old 4 -> parent old 3 -> new 2
+    assert m.kf_parent[0] == -1
