@@ -49,7 +49,8 @@ class SlamSystem:
                  bf: float = 0.0, th_depth: float = 0.0,
                  enable_loop_closing: bool = True, cam_type: int = 0,
                  mapping_mode: str = "sync",
-                 kf_cull_redundancy: float = 0.9):
+                 kf_cull_redundancy: float = 0.9,
+                 use_viewer: bool = False, viewer_port: int = 8642):
         _enable_compilation_cache()
         self.orb_cfg = feat_ops.OrbConfig(n_features=n_features)
         cap = self.orb_cfg.total_capacity
@@ -81,6 +82,11 @@ class SlamSystem:
         self.tracker.on_tracking_lost = self._on_tracking_lost
         self.tracker.try_cross_map_reloc = self._try_cross_map_reloc
         self.frame_times: list[float] = []
+        # live viewer thread (reference bUseViewer, src/System.cc:157-161)
+        self.viewer = None
+        if use_viewer:
+            from .viewer import LiveViewer
+            self.viewer = LiveViewer(self, port=viewer_port)
 
     @property
     def map(self) -> 'MapState':
@@ -200,6 +206,9 @@ class SlamSystem:
         src/System.cc:421-453) and print the per-stage timing table (the
         reference's PrintTimeStats, src/System.cc:450-452)."""
         self.tracker.flush_pending()
+        if self.viewer is not None:
+            self.viewer.close()
+            self.viewer = None
         if self.runtime is not None:
             self.runtime.shutdown(timeout)
             self.runtime = None

@@ -89,3 +89,151 @@ def draw_frame(img: np.ndarray, frame, state_name: str = "OK") -> np.ndarray:
     txt = f"{state_name} | matches: {n_tracked} | kps: {int(frame.valid.sum())}"
     cv2.putText(bar, txt, (8, 15), cv2.FONT_HERSHEY_PLAIN, 1.0, (255, 255, 255), 1)
     return np.concatenate([vis, bar], axis=0)
+
+
+class LiveViewer:
+    """Live (interactive) viewer over HTTP — the reference's Pangolin Viewer
+    thread (reference src/Viewer.cc:130-250: render loop, menu toggles
+    follow-camera / show-points / show-KFs / show-graph / localization-mode /
+    reset) re-imagined for a headless TPU host: a background thread renders
+    the map + current-frame overlay at ``fps`` and a stdlib HTTP server
+    serves an auto-refreshing page with the same menu actions. Open
+    http://<host>:<port>/ while the system runs.
+
+    Endpoints: ``/`` (page), ``/map.png``, ``/frame.png``, ``/state``
+    (JSON), ``/toggle?key=...`` (show_points/show_kfs/show_graph/follow),
+    ``/action?do=reset|localization|mapping``.
+    """
+
+    def __init__(self, system, port: int = 8642, fps: float = 2.0):
+        self.system = system
+        self.port = int(port)
+        self.period = 1.0 / max(fps, 0.1)
+        self.toggles = {"show_points": True, "show_kfs": True,
+                        "show_graph": True, "follow": False}
+        self._map_png = b""
+        self._frame_png = b""
+        self._stop = False
+        self._httpd = None
+        import threading
+        self._render_t = threading.Thread(target=self._render_loop, daemon=True)
+        self._serve_t = threading.Thread(target=self._serve, daemon=True)
+        self._render_t.start()
+        self._serve_t.start()
+
+    # -- rendering -------------------------------------------------------
+    def _render_once(self):
+        import io
+        import os
+        import tempfile
+        sysm = self.system
+        m = sysm.map
+        with m.lock:
+            ts, R_wc, t_wc, lost = sysm.tracker.export_trajectory()
+            tmp = tempfile.NamedTemporaryFile(suffix=".png", delete=False)
+            tmp.close()
+            try:
+                render_map(m, tmp.name, trajectory=t_wc,
+                           show_covisibility=self.toggles["show_graph"],
+                           max_points=4000 if self.toggles["show_points"] else 0)
+                with open(tmp.name, "rb") as f:
+                    self._map_png = f.read()
+            finally:
+                os.unlink(tmp.name)
+        lf = sysm.tracker.last_frame
+        if lf is not None and lf.dev is not None or (lf is not None
+                                                    and lf.host_ready):
+            try:
+                import cv2
+                h = int(sysm.tracker.wh[1])
+                w = int(sysm.tracker.wh[0])
+                canvas = np.full((h, w), 16, np.float32)
+                vis = draw_frame(canvas, lf, sysm.tracker.state.name)
+                ok, buf = cv2.imencode(".png", vis)
+                if ok:
+                    self._frame_png = buf.tobytes()
+            except Exception:
+                pass
+
+    def _render_loop(self):
+        import time as _t
+        while not self._stop:
+            try:
+                self._render_once()
+            except Exception:
+                pass
+            _t.sleep(self.period)
+
+    # -- http ------------------------------------------------------------
+    def _serve(self):
+        import json
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import urlparse, parse_qs
+        viewer = self
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, body, ctype="text/html"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                if u.path == "/map.png":
+                    self._send(200, viewer._map_png or b"", "image/png")
+                elif u.path == "/frame.png":
+                    self._send(200, viewer._frame_png or b"", "image/png")
+                elif u.path == "/state":
+                    st = viewer.system.stats()
+                    st.pop("stage_times", None)
+                    self._send(200, json.dumps(st).encode(),
+                               "application/json")
+                elif u.path == "/toggle":
+                    k = q.get("key", [""])[0]
+                    if k in viewer.toggles:
+                        viewer.toggles[k] = not viewer.toggles[k]
+                    self._send(200, b"ok", "text/plain")
+                elif u.path == "/action":
+                    do = q.get("do", [""])[0]
+                    if do == "reset":
+                        viewer.system.reset()
+                    elif do == "localization":
+                        viewer.system.activate_localization_mode()
+                    elif do == "mapping":
+                        viewer.system.deactivate_localization_mode()
+                    self._send(200, b"ok", "text/plain")
+                else:
+                    page = ("<html><head><title>orbslam3_tpu</title>"
+                            "<meta http-equiv='refresh' content='2'></head>"
+                            "<body style='background:#111;color:#ddd;"
+                            "font-family:monospace'>"
+                            "<h3>orbslam3_tpu live viewer</h3>"
+                            "<a href='/toggle?key=show_points'>points</a> | "
+                            "<a href='/toggle?key=show_graph'>graph</a> | "
+                            "<a href='/action?do=localization'>localization"
+                            "</a> | <a href='/action?do=mapping'>mapping</a>"
+                            " | <a href='/action?do=reset'>RESET</a><br>"
+                            "<img src='/map.png' height='420'> "
+                            "<img src='/frame.png' height='420'>"
+                            "</body></html>").encode()
+                    self._send(200, page)
+
+        try:
+            self._httpd = ThreadingHTTPServer(("0.0.0.0", self.port), H)
+            self._httpd.serve_forever(poll_interval=0.3)
+        except OSError:
+            pass   # port busy: viewer disabled, SLAM unaffected
+
+    def close(self):
+        self._stop = True
+        if self._httpd is not None:
+            try:
+                self._httpd.shutdown()
+            except Exception:
+                pass
