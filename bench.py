@@ -83,14 +83,17 @@ def bench_kernel_path():
     args = (R0, t0, mp_xyz, mp_desc, mp_normal,
             jnp.full((n_mp,), 0.5, jnp.float32),
             jnp.full((n_mp,), 50.0, jnp.float32), jnp.ones((n_mp,), bool))
-    jax.block_until_ready(frame_step(imgs[0], *args))
+    # NOTE: jax.block_until_ready does not actually wait on the axon remote
+    # backend — force completion by materializing an output (device
+    # throughput measure: N sequential dispatches, one final pull)
+    np.asarray(frame_step(imgs[0], *args)[2])
     for im in imgs:
-        jax.block_until_ready(frame_step(im, *args))
+        np.asarray(frame_step(im, *args)[2])
     n_iter = 30
     t0_ = time.perf_counter()
     for i in range(n_iter):
         out = frame_step(imgs[i % len(imgs)], *args)
-    jax.block_until_ready(out)
+    np.asarray(out[2])
     return n_iter / (time.perf_counter() - t0_)
 
 

@@ -1324,13 +1324,26 @@ class Tracker:
             self._pi_jit = {}
         use_prior = self.pose_prior_H is not None
         if use_prior not in self._pi_jit:
+            # ONE packed int32 result (poses/vel/H_marg bitcast + n_inliers +
+            # packbits(inlier)) — one device→host pull instead of five
+            # (each pull pays the remote-TPU round trip)
+            def _packed(*a, **kw):
+                res = vi_ops.pose_inertial_optimize(
+                    *a, cam_type=self.cam_type, **kw)
+                from . import kernels as _k
+                return jnp.concatenate([
+                    _k._bitcast_f2i(res.R.reshape(-1)),
+                    _k._bitcast_f2i(res.t),
+                    _k._bitcast_f2i(res.v),
+                    _k._bitcast_f2i(res.H_marg.reshape(-1)),
+                    res.n_inliers.astype(jnp.int32)[None],
+                    _k._pack_bits_i32(res.inlier),
+                ])
             if use_prior:
                 self._pi_jit[True] = jax.jit(
-                    lambda *a, prior_H: vi_ops.pose_inertial_optimize(
-                        *a, cam_type=self.cam_type, prior_H=prior_H))
+                    lambda *a, prior_H: _packed(*a, prior_H=prior_H))
             else:
-                self._pi_jit[False] = jax.jit(functools.partial(
-                    vi_ops.pose_inertial_optimize, cam_type=self.cam_type))
+                self._pi_jit[False] = jax.jit(_packed)
         args = (
             jnp.asarray(frame.R), jnp.asarray(frame.t),
             jnp.asarray(self.velocity_w),
@@ -1343,28 +1356,30 @@ class Tracker:
             jnp.asarray(inv_s2, jnp.float32),
             jnp.asarray(matched & frame.valid), jnp.asarray(self.cam_params))
         if use_prior:
-            res = self._pi_jit[True](
-                *args, prior_H=jnp.asarray(self.pose_prior_H, jnp.float32))
+            out = np.asarray(self._pi_jit[True](
+                *args, prior_H=jnp.asarray(self.pose_prior_H, jnp.float32)))
         else:
-            res = self._pi_jit[False](*args)
-        Rn = np.asarray(res.R)
-        tn = np.asarray(res.t)
+            out = np.asarray(self._pi_jit[False](*args))
+        Rn = out[0:9].view(np.float32).reshape(3, 3).copy()
+        tn = out[9:12].view(np.float32).copy()
         if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
             self.pose_prior_H = None
             return -1
         frame.R = Rn
         frame.t = tn
-        self.velocity_w = np.asarray(res.v, np.float32)
+        self.velocity_w = out[12:15].view(np.float32).copy()
         # carry the marginalized information to the next frame (reference
         # builds mpcpi = new ConstraintPoseImu from the marginal Hessian)
-        Hm = np.asarray(res.H_marg)
+        Hm = out[15:96].view(np.float32).reshape(9, 9)
         if np.isfinite(Hm).all():
             self.pose_prior_H = Hm.astype(np.float32)
         else:
             self.pose_prior_H = None
-        inl = np.asarray(res.inlier)
+        n_inl = int(out[96])
+        N = len(frame.feat_mp)
+        inl = kernels.unpack_bits_host(out[97: 97 + (N + 31) // 32], N)
         frame.feat_mp[matched & ~inl] = -1
-        return int(inl.sum())
+        return n_inl
 
     def _track_recently_lost_imu(self, frame: Frame) -> bool:
         """Dead-reckon on the IMU while RECENTLY_LOST and try to re-acquire
