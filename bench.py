@@ -121,9 +121,22 @@ def bench_system_e2e(n_frames: int = 120, warmup: int = 24):
         slam.track_monocular(imgs[i], ts=float(i) / 20.0)
     ft = np.asarray(slam.frame_times[warmup:])
     st = slam.stats()
+    # accuracy alongside speed: scale-aligned RMS ATE vs the exact synthetic
+    # ground truth (the reference's oracle, evaluate_ate_scale.py)
+    ate = None
+    try:
+        from orbslam3_tpu.utils.evaluation import evaluate_trajectory
+        gt = np.array([-R.T @ t for (R, t) in poses])
+        ts, R_wc, t_wc, lost = slam.export_trajectory()
+        ate, n_assoc = evaluate_trajectory(
+            np.arange(n_frames) / 20.0, gt, ts, t_wc, with_scale=True)
+        ate = round(float(ate), 4) if n_assoc > n_frames // 2 else None
+    except Exception:
+        pass
     return (1.0 / max(float(np.median(ft)), 1e-9),
             1.0 / max(float(ft.mean()), 1e-9),
-            {k: st[k] for k in ("n_keyframes", "n_map_points") if k in st},
+            {k: st[k] for k in ("n_keyframes", "n_map_points") if k in st}
+            | {"ate_m": ate},
             {k: round(v.get("median_ms", v["mean_ms"]), 2)
              for k, v in st.get("stage_times", {}).items()})
 

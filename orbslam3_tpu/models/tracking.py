@@ -101,6 +101,13 @@ class TrackingParams:
     # returned by track_* then describes the most recently FINALIZED frame
     # and keyframe insertion lags one frame. Visual-only paths.
     pipeline: bool = False
+    # in-flight frame budget: 1 = consume the previous frame's result at the
+    # next call (its transfer overlaps one extraction); 2 = consume two calls
+    # later — the tunnel round trip leaves the critical path entirely, at the
+    # cost of candidate sets and keyframe insertion lagging two frames (the
+    # constant-velocity prediction extrapolates the extra step and the
+    # matching window widens accordingly)
+    pipeline_depth: int = 1
 
 
 class Tracker:
@@ -155,10 +162,13 @@ class Tracker:
         self._mirror_for = mirror_for
         self._cam_key = tuple(float(v) for v in self.cam_params)
         self._wh_key = (float(wh[0]), float(wh[1]))
+        depth = max(1, int(getattr(self.p, "pipeline_depth", 1)))
+        r_scale = 1.0 + 0.5 * (depth - 1)
         self.fused_track = kernels.fused_track_pooled(
             self.cam_type, orb_cfg.n_levels, orb_cfg.scale,
             self._cam_key, self._wh_key, float(bf),
-            float(self.p.motion_radius), float(self.p.local_radius),
+            float(self.p.motion_radius * r_scale),
+            float(self.p.local_radius * r_scale),
             float(self.p.motion_ratio), float(self.p.local_ratio),
             int(self.p.th_high))
         self.pose_opt_pooled = kernels.pose_opt_pooled(
@@ -192,7 +202,7 @@ class Tracker:
 
         self.init_frame: Frame | None = None
         self.last_frame: Frame | None = None
-        self._pending = None   # in-flight pipelined frame (TrackingParams.pipeline)
+        self._pending: list = []   # in-flight pipelined frames (FIFO, ≤ depth)
         self.velocity: tuple[np.ndarray, np.ndarray] | None = None  # T_cl
         self.ref_kf: int = -1
         self.last_kf_frame_id: int = -1
@@ -584,13 +594,17 @@ class Tracker:
         the caller's inter-frame time + frame N+1's extraction dispatch."""
         fid = self.n_frames
         self.n_frames += 1
+        depth = max(1, int(getattr(self.p, "pipeline_depth", 1)))
         with self.timer.stage("1.orb_extraction"):
             feats = self.extract(jnp.asarray(np.asarray(img, np.float32)))
             frame = build_frame(fid, ts, feats)
-        info_prev = self.flush_pending()
+        info_prev = None
+        if len(self._pending) >= depth:
+            info_prev = self._flush_one()
         self._timestamp_guard(ts)
         with locked_current(self):
             if self.state == TrackState.NOT_INITIALIZED:
+                info_prev = self.flush_pending() or info_prev
                 ok = self._monocular_init(frame)
                 self._log_trajectory(frame, tracked=ok)
                 self.last_frame = frame
@@ -599,9 +613,11 @@ class Tracker:
                 with self.timer.stage("3f.fused_dispatch"):
                     pend = self._fused_dispatch(frame)
                 if pend is not None:
-                    self._pending = pend
+                    self._pending.append(pend)
                     return info_prev if info_prev is not None else {
                         "state": self.state.name, "pending": True}
+            # staged path needs a fully-consumed state: drain the pipeline
+            info_prev = self.flush_pending() or info_prev
             with self.timer.stage("3.track_total"):
                 ok = self._track(frame, allow_fused=False)
             self._log_trajectory(frame, tracked=ok)
@@ -610,13 +626,18 @@ class Tracker:
                     "inliers": frame.n_matched() if ok else 0}
 
     def flush_pending(self) -> dict | None:
-        """Finalize the in-flight pipelined frame (no-op without one).
+        """Finalize ALL in-flight pipelined frames (no-op without any).
         MUST be called before reading tracker state externally — the system
         calls it from stats()/shutdown/trajectory export."""
-        pend = self._pending
-        if pend is None:
+        info = None
+        while self._pending:
+            info = self._flush_one() or info
+        return info
+
+    def _flush_one(self) -> dict | None:
+        if not self._pending:
             return None
-        self._pending = None
+        pend = self._pending.pop(0)
         frame = pend["frame"]
         with locked_current(self):
             if pend["map"] is not self.map or \
@@ -625,6 +646,13 @@ class Tracker:
             self.current_frame = frame
             with self.timer.stage("3g.fused_consume"):
                 ok = self._fused_consume(pend)
+            if not ok and self._can_fuse_track():
+                # stale-candidate miss (deep pipelines dispatch with lagged
+                # candidate sets): one synchronous fused retry with CURRENT
+                # candidates costs ~1 round trip vs ~10 for the staged path
+                frame.feat_mp[:] = -1
+                with self.timer.stage("3g.fused_retry"):
+                    ok = self._track_fused(frame)
             if ok:
                 self._post_track(frame, True)
             else:
@@ -1131,8 +1159,14 @@ class Tracker:
         regime by construction of the threshold."""
         Rv, tv = self.velocity
         Rl, tl = self.last_frame.R, self.last_frame.t
-        Rp = (Rv @ Rl).astype(np.float32)
-        tp = (Rv @ tl + tv).astype(np.float32)
+        # deeper pipelines consume with a lag: extrapolate the per-interval
+        # velocity once per skipped frame (frame ids are consecutive)
+        steps = max(1, int(frame.frame_id - self.last_frame.frame_id))
+        Rp, tp = Rl, tl
+        for _ in range(min(steps, 4)):
+            Rp, tp = Rv @ Rp, Rv @ tp + tv
+        Rp = Rp.astype(np.float32)
+        tp = tp.astype(np.float32)
         thresh = self.p.cv_predict_min_px
         if thresh > 0.0:
             c_p = -Rp.T @ tp

@@ -19,6 +19,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The XLA:CPU backend segfaults inside LLVM codegen once a single process
+    has accumulated enough large compiled programs (reproduced
+    deterministically: the 29th test's first extractor compile crashes after
+    the first 28 tests' compilations, regardless of codegen threading).
+    Clearing the jit caches per module keeps the compiler healthy; modules
+    recompile what they share (a few seconds each)."""
+    yield
+    import gc
+    import jax
+    jax.clear_caches()
+    gc.collect()
+
+
 def dense_tracking_params(**kw):
     """Tracking params for the short synthetic fixtures: their per-frame
     motion is much larger than a real 20 fps camera's and rendered features

@@ -44,7 +44,25 @@ def test_pipeline_flush_on_state_reads():
                       tracking_params=dense_tracking_params(pipeline=True))
     for i, (R, t) in enumerate(poses):
         slam.track_monocular(scene.render(R, t), ts=i / 20.0)
-    assert slam.tracker._pending is not None or True  # may or may not be in flight
     state = slam.get_tracking_state()                 # flushes
-    assert slam.tracker._pending is None
+    assert slam.tracker._pending == []
     assert state == TrackState.OK
+
+
+def test_pipelined_depth2_tracks():
+    """Two-frame-deep pipeline: the round trip leaves the critical path;
+    candidate sets lag two frames and a synchronous fused retry bridges
+    stale-candidate misses."""
+    scene = RoomScene(seed=1, n_clutter=4)
+    n = 30
+    poses = orbit_trajectory(n, radius=1.0, forward=0.0)
+    slam = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=512,
+                      seed=0,
+                      tracking_params=dense_tracking_params(
+                          pipeline=True, pipeline_depth=2))
+    for i, (R, t) in enumerate(poses):
+        slam.track_monocular(scene.render(R, t), ts=i / 20.0)
+    assert slam.get_tracking_state() == TrackState.OK
+    assert slam.tracker._pending == []
+    ts, R_wc, t_wc, lost = slam.export_trajectory()
+    assert len(ts) >= n - 6 and lost.sum() == 0
