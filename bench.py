@@ -128,8 +128,10 @@ def bench_system_e2e(n_frames: int = 120, warmup: int = 24):
         from orbslam3_tpu.utils.evaluation import evaluate_trajectory
         gt = np.array([-R.T @ t for (R, t) in poses])
         ts, R_wc, t_wc, lost = slam.export_trajectory()
+        sel = ~lost
         ate, n_assoc = evaluate_trajectory(
-            np.arange(n_frames) / 20.0, gt, ts, t_wc, with_scale=True)
+            np.arange(n_frames) / 20.0, gt, ts[sel], t_wc[sel],
+            with_scale=True)
         ate = round(float(ate), 4) if n_assoc > n_frames // 2 else None
     except Exception:
         pass

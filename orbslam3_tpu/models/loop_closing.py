@@ -42,6 +42,30 @@ from .map import MapState
 _DEFAULT_VOCAB = None
 
 
+def _pair_bucket(n: int, caps=(64, 128, 256, 512, 1024, 2048)) -> int:
+    """Static-shape bucket for a matched-pair count: the Sim3 verification
+    kernels are jitted, so their input lengths must come from a small fixed
+    set or every candidate with a new match count triggers a recompile."""
+    for c in caps:
+        if n <= c:
+            return c
+    return caps[-1]
+
+
+def _pad_to(a: np.ndarray, cap: int, fill: float = 0.0,
+            fill_z1: bool = False) -> np.ndarray:
+    """Pad axis 0 of ``a`` to ``cap`` (truncating if longer). With
+    ``fill_z1`` pad 3D points with (0,0,1) so camera projection of masked
+    rows stays finite."""
+    a = np.asarray(a, np.float32)[:cap]
+    if len(a) == cap:
+        return a
+    pad = np.full((cap - len(a),) + a.shape[1:], fill, np.float32)
+    if fill_z1:
+        pad[..., -1] = 1.0
+    return np.concatenate([a, pad])
+
+
 import functools
 
 
@@ -432,24 +456,33 @@ class LoopCloser:
         x2 = m2.mp_xyz[mp2] @ m2.kf_R[kf2].T + m2.kf_t[kf2]
         sig1 = m.level_sigma2[m.kf_feat_octave[kf1, f1]]
         sig2 = m2.level_sigma2[m2.kf_feat_octave[kf2, f2]]
+        # pad the pair set to a static bucket: the Sim3 kernels are jitted,
+        # and a per-candidate match count would recompile them every call
+        # (measured 85 s stalls on first hits) — the masks make padding exact
+        cap = _pair_bucket(n)
+        n = min(n, cap)
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        x1p, x2p = _pad_to(x1, cap, fill_z1=True), _pad_to(x2, cap, fill_z1=True)
+        sig1p, sig2p = _pad_to(sig1, cap, 1.0), _pad_to(sig2, cap, 1.0)
         rand = self.rng.integers(0, n, (100, 3)).astype(np.int32)
         res = sim3_ops.sim3_ransac(
-            jnp.asarray(x1.astype(np.float32)), jnp.asarray(x2.astype(np.float32)),
-            jnp.ones(n, bool), jnp.asarray(rand),
-            jnp.asarray(9.21 * sig1, jnp.float32), jnp.asarray(9.21 * sig2, jnp.float32),
+            jnp.asarray(x1p), jnp.asarray(x2p),
+            jnp.asarray(valid), jnp.asarray(rand),
+            jnp.asarray(9.21 * sig1p, jnp.float32),
+            jnp.asarray(9.21 * sig2p, jnp.float32),
             jnp.asarray(self.cam_params), fix_scale=self.fix_scale,
             min_inliers=self.n_bow_inliers, cam_type=self.cam_type)
         if not bool(res.success):
             return False, None
         # OptimizeSim3 on the matched pairs (reference Optimizer.cc:3555)
         opt = sim3_ops.optimize_sim3(
-            jnp.asarray(x1.astype(np.float32)),
-            jnp.asarray(x2.astype(np.float32)),
-            jnp.asarray(m.kf_feat_xy[kf1, f1]),
-            jnp.asarray(m2.kf_feat_xy[kf2, f2]),
-            jnp.asarray((1.0 / sig1).astype(np.float32)),
-            jnp.asarray((1.0 / sig2).astype(np.float32)),
-            jnp.ones(n, bool), res.s, res.R, res.t,
+            jnp.asarray(x1p), jnp.asarray(x2p),
+            jnp.asarray(_pad_to(m.kf_feat_xy[kf1, f1], cap)),
+            jnp.asarray(_pad_to(m2.kf_feat_xy[kf2, f2], cap)),
+            jnp.asarray(_pad_to(1.0 / sig1, cap)),
+            jnp.asarray(_pad_to(1.0 / sig2, cap)),
+            jnp.asarray(valid), res.s, res.R, res.t,
             jnp.asarray(self.cam_params), fix_scale=self.fix_scale,
             cam_type=self.cam_type)
         if int(opt.n_inliers) < self.n_sim3_inliers:   # nSim3Inliers (20)
@@ -563,17 +596,24 @@ class LoopCloser:
         sig2 = np.ones(len(mp2), np.float32)
         sig2[has2] = m2.level_sigma2[m2.kf_feat_octave[kf2, f2[has2]]]
         s, R, t = S21
+        # static-bucket padding — same recompile-avoidance as _verify_candidate
+        nn = len(mp1)
+        capb = _pair_bucket(nn)
+        validb = np.zeros(capb, bool)
+        validb[:nn] = True
+        has2b = np.zeros(capb, bool)
+        has2b[:nn] = has2[:capb]
         opt = sim3_ops.optimize_sim3(
-            jnp.asarray(x1.astype(np.float32)),
-            jnp.asarray(x2.astype(np.float32)),
-            jnp.asarray(uv1.astype(np.float32)), jnp.asarray(uv2),
-            jnp.asarray((1.0 / sig1).astype(np.float32)),
-            jnp.asarray((1.0 / sig2).astype(np.float32)),
-            jnp.ones(len(mp1), bool),
+            jnp.asarray(_pad_to(x1, capb, fill_z1=True)),
+            jnp.asarray(_pad_to(x2, capb, fill_z1=True)),
+            jnp.asarray(_pad_to(uv1, capb)), jnp.asarray(_pad_to(uv2, capb)),
+            jnp.asarray(_pad_to(1.0 / sig1, capb, 1.0)),
+            jnp.asarray(_pad_to(1.0 / sig2, capb, 1.0)),
+            jnp.asarray(validb),
             jnp.asarray(s, jnp.float32), jnp.asarray(R, jnp.float32),
             jnp.asarray(t, jnp.float32),
             jnp.asarray(self.cam_params),
-            valid21=jnp.asarray(has2),
+            valid21=jnp.asarray(has2b),
             fix_scale=self.fix_scale, cam_type=self.cam_type)
         sN = float(opt.s)
         RN = np.asarray(opt.R)
