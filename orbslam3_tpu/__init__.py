@@ -20,3 +20,15 @@ A from-scratch rebuild of the capability surface of ORB-SLAM3 (reference:
 """
 
 __version__ = "0.1.0"
+
+# SLAM geometry (pose LM, triangulation, Schur BA) is numerically fragile:
+# TPU matmuls default to bfloat16 passes whose ~8-bit mantissa silently
+# corrupts normal equations and projection chains — measured on-chip as a
+# tracking failure at frame ~75 of the 120-frame bench orbit (ATE 0.04→0.63)
+# that CPU float32 does not exhibit. All matmuls here are small (≤ a few K
+# rows × 3-9 cols), nowhere near MXU-bound, so full-f32 accumulation costs
+# nothing measurable; the FLOP-heavy kernels (Hamming matching, FAST) are
+# integer/boolean and unaffected by this setting.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
