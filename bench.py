@@ -97,48 +97,70 @@ def bench_kernel_path():
     return n_iter / (time.perf_counter() - t0_)
 
 
-def bench_system_e2e(n_frames: int = 120, warmup: int = 24):
-    """End-to-end SlamSystem fps on a rendered sequence (mapper inline,
-    pipelined tracking — TrackingParams.pipeline overlaps the remote-TPU
-    round trip with the next frame's extraction)."""
+def bench_system_e2e(n_frames: int = 300, warmup: int = 30):
+    """End-to-end SlamSystem throughput on a rendered walk sequence.
+
+    Headline = WALL-CLOCK frames/s (n_frames / elapsed seconds of the
+    tracking loop, pipeline flushed) with the mapper + loop closer running
+    asynchronously — the reference's thread architecture
+    (src/System.cc:135-164: tracking never blocks on LocalMapping's BA) and
+    the honest comparison to its 20 fps real-time contract (BASELINE.md).
+    Median per-frame latency rides along as a latency metric, plus a
+    mapper-kept-up check (post-loop queue drain time).
+    """
     from orbslam3_tpu.models.system import SlamSystem
     from orbslam3_tpu.models.tracking import TrackingParams
-    from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
+    from orbslam3_tpu.utils.datasets import RoomScene, walk_trajectory
 
     scene = RoomScene(seed=1, n_clutter=4)
-    # forward=0: a steady orbit inside the room — constant-distance revisits.
-    # A net drift degenerates on synthetic imagery: every new view is
-    # strictly coarser/finer-scale than the map, so reference-rule culling
-    # and the c2 insertion condition oscillate (KF every frame)
-    poses = orbit_trajectory(n_frames, radius=1.0, forward=0.0)
+    # A periodic walk with genuine viewpoint diversity (large ellipse +
+    # bounded yaw swing, revisiting at frame ``period``): the map must grow
+    # around the path and survive the revisit leg. (The old lateral-sinusoid
+    # orbit kept every view on one wall section — mutual redundancy culled
+    # the map to 3 keyframes by design, a degenerate fixture.)
+    poses = walk_trajectory(n_frames, period=280)
     imgs = [scene.render(R, t) for (R, t) in poses]   # pre-render (host cost
     # excluded — the camera, not the SLAM system)
     slam = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=1024,
-                      seed=0,
+                      seed=0, mapping_mode="async",
                       tracking_params=TrackingParams(kf_interval_override=5,
                                                      pipeline=True))
+    t_start = time.perf_counter()
     for i, (R, t) in enumerate(poses):
         slam.track_monocular(imgs[i], ts=float(i) / 20.0)
+    slam.tracker.flush_pending()          # drain the tracking pipeline
+    t_track = time.perf_counter() - t_start
+    drained = slam.wait_idle(timeout=120.0)
+    t_drain = time.perf_counter() - t_start - t_track
     ft = np.asarray(slam.frame_times[warmup:])
     st = slam.stats()
     # accuracy alongside speed: scale-aligned RMS ATE vs the exact synthetic
     # ground truth (the reference's oracle, evaluate_ate_scale.py)
     ate = None
+    n_lost = -1
     try:
         from orbslam3_tpu.utils.evaluation import evaluate_trajectory
         gt = np.array([-R.T @ t for (R, t) in poses])
         ts, R_wc, t_wc, lost = slam.export_trajectory()
+        n_lost = int(lost.sum())
         sel = ~lost
         ate, n_assoc = evaluate_trajectory(
             np.arange(n_frames) / 20.0, gt, ts[sel], t_wc[sel],
             with_scale=True)
+        # a None ATE must be distinguishable from a high-loss run (ADVICE r3):
+        # n_lost is reported either way
         ate = round(float(ate), 4) if n_assoc > n_frames // 2 else None
     except Exception:
         pass
-    return (1.0 / max(float(np.median(ft)), 1e-9),
-            1.0 / max(float(ft.mean()), 1e-9),
+    slam.shutdown(print_times=False)
+    wall_fps = n_frames / t_track
+    return (wall_fps,
+            1.0 / max(float(np.median(ft)), 1e-9),
             {k: st[k] for k in ("n_keyframes", "n_map_points") if k in st}
-            | {"ate_m": ate},
+            | {"ate_m": ate, "n_lost": n_lost,
+               "mapper_drain_s": round(t_drain, 2),
+               "mapper_drained": bool(drained),
+               "track_wall_s": round(t_track, 2)},
             {k: round(v.get("median_ms", v["mean_ms"]), 2)
              for k, v in st.get("stage_times", {}).items()})
 
@@ -200,20 +222,20 @@ def bench_ba_iters():
 def main():
     platform = _setup_jax()
     kernel_fps = bench_kernel_path()
-    sys_fps_med, sys_fps_mean, map_stats, stage_ms = bench_system_e2e()
+    wall_fps, fps_med_latency, map_stats, stage_ms = bench_system_e2e()
     ba = bench_ba_iters()
     baseline_fps = 20.0  # reference real-time contract (BASELINE.md)
     print(json.dumps({
         "metric": "slam_system_frames_per_second_per_chip",
-        "value": round(sys_fps_med, 2),
+        "value": round(wall_fps, 2),        # wall-clock throughput (honest)
         "unit": "frames/s",
-        "vs_baseline": round(sys_fps_med / baseline_fps, 3),
+        "vs_baseline": round(wall_fps / baseline_fps, 3),
         "platform": platform,
-        "system_fps_mean": round(sys_fps_mean, 2),
+        "frame_latency_median_fps": round(fps_med_latency, 2),
         "kernel_path_fps": round(kernel_fps, 2),
         "ba_iters_per_s": ba,
         "bench_map": map_stats,
-        "stage_mean_ms": stage_ms,
+        "stage_median_ms": stage_ms,
     }))
 
 

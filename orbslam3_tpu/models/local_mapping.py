@@ -457,16 +457,18 @@ class LocalMapper:
                 th_depth, cands, m.cfg.max_map_points)
             if red_tot is not None:
                 return red_tot
-            # numpy fallback: scale-unaware approximation (obs ≥ 4)
+            # numpy fallback: scale-unaware approximation. Denominator counts
+            # ALL good tracked points (reference nMPs); only the redundancy
+            # numerator requires >3 observations (nObs > thObs gate).
             obs = m.obs_count()
             red = np.zeros(len(cands), np.int32)
             tot = np.zeros(len(cands), np.int32)
             for i, k in enumerate(cands):
                 row = m.kf_feat_mp[k]
                 mps = row[row >= 0]
-                mps = mps[m.mp_valid[mps] & (obs[mps] > 3)]
+                mps = mps[m.mp_valid[mps]]
                 tot[i] = len(mps)
-                red[i] = int((obs[mps] >= 4).sum())
+                red[i] = int((obs[mps] > 3).sum())
             return red, tot
 
         n_culled = 0

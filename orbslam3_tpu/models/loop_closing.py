@@ -602,13 +602,13 @@ class LoopCloser:
         validb = np.zeros(capb, bool)
         validb[:nn] = True
         has2b = np.zeros(capb, bool)
-        has2b[:nn] = has2[:capb]
+        has2b[:nn] = has2
         opt = sim3_ops.optimize_sim3(
             jnp.asarray(_pad_to(x1, capb, fill_z1=True)),
             jnp.asarray(_pad_to(x2, capb, fill_z1=True)),
             jnp.asarray(_pad_to(uv1, capb)), jnp.asarray(_pad_to(uv2, capb)),
-            jnp.asarray(_pad_to(1.0 / sig1, capb, 1.0)),
-            jnp.asarray(_pad_to(1.0 / sig2, capb, 1.0)),
+            jnp.asarray(_pad_to(1.0 / sig1, capb)),
+            jnp.asarray(_pad_to(1.0 / sig2, capb)),
             jnp.asarray(validb),
             jnp.asarray(s, jnp.float32), jnp.asarray(R, jnp.float32),
             jnp.asarray(t, jnp.float32),

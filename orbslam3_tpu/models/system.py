@@ -96,12 +96,15 @@ class SlamSystem:
         """(Re)bind mapper/loop-closer/tracker to the active atlas map."""
         self.tracker.map = m
         self.tracker.timer = self.timer
-        prev_mapper_stats = getattr(self, "mapper", None) and self.mapper.stats
-        prev_lc_stats = getattr(self, "loop_closer", None) and \
-            self.loop_closer.stats
+        prev_mapper_stats = (self.mapper.stats
+                             if getattr(self, "mapper", None) is not None
+                             else None)
+        prev_lc_stats = (self.loop_closer.stats
+                         if getattr(self, "loop_closer", None) is not None
+                         else None)
         self.mapper = LocalMapper(m, self._K, self.orb_cfg, wh=self._wh,
                                   cam_type=self.cam_type)
-        if prev_mapper_stats:
+        if prev_mapper_stats is not None:
             # counters are system-lifetime (reference LocalMapping telemetry
             # src/LocalMapping.cc:190-209 outlives map switches) — a map
             # spawn/merge must not zero them
@@ -130,7 +133,7 @@ class SlamSystem:
                 n_proj_matches=int(round(50 * gs)),
                 n_proj_opt_matches=int(round(80 * gs)))
             self.loop_closer.timer = self.timer
-            if prev_lc_stats:
+            if prev_lc_stats is not None:
                 self.loop_closer.stats.update(prev_lc_stats)
             # SearchAndFuse hook (reference src/LoopClosing.cc:1462 uses
             # ORBmatcher::Fuse — same kernel as the mapper's fuse)

@@ -273,9 +273,16 @@ void kf_redundancy(const int32_t* feat_mp, const uint8_t* kf_valid,
             int32_t mp = r[i];
             if (mp < 0 || mp >= max_mp || local[mp] < 0) continue;
             if (th_depth > 0 && (dep[i] > th_depth || dep[i] < 0)) continue;
+            // reference KeyFrameCulling: nMPs counts EVERY good tracked
+            // point (the denominator), and only the redundancy check is
+            // gated on nObs > thObs(3). Fresh 2-obs frontier points thus
+            // lower the redundancy fraction and protect their keyframe —
+            // counting them out (the old behavior) made every frontier
+            // keyframe look redundant and collapsed the map to 3 KFs on
+            // exploratory paths (r4 longrun root cause).
+            ++total;
             int32_t a = cnt[local[mp]], b = cnt[local[mp] + 1];
             if (b - a <= 3) continue;   // reference nObs > thObs(3)
-            ++total;
             int32_t own = oct[i], n_scale = 0;
             for (int32_t u = a; u < b; ++u) {
                 if (okf[u] == k) continue;
