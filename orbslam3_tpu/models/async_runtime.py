@@ -249,9 +249,18 @@ class BackgroundGBA:
 
     def _run(self):
         try:
-            self.system.mapper.global_ba(
-                iters=(4, self.iters), abort_check=self._abort.is_set,
-                propagate=True)
+            tr = self.system.tracker
+            if getattr(tr, "imu_initialized", False):
+                # inertial map: FullInertialBA(7), not visual GBA (reference
+                # RunGlobalBundleAdjustment, src/LoopClosing.cc:2591-2601)
+                ids = self.map.valid_kf_ids()
+                if len(ids):
+                    self.system.mapper.full_inertial_ba(
+                        int(ids[-1]), iters=7, prior_g=0.0, prior_a=0.0)
+            else:
+                self.system.mapper.global_ba(
+                    iters=(4, self.iters), abort_check=self._abort.is_set,
+                    propagate=True)
         except Exception as e:
             self.system.mapper.stats["gba_errors"] = (
                 self.system.mapper.stats.get("gba_errors", 0) + 1)

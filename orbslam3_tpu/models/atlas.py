@@ -47,6 +47,11 @@ class Atlas:
         caller's welding pass (reference MergeLocal's welding BA)."""
         cur = self.current
         kf_off_ids = {}
+        # weld anchor for re-parenting the migrated spanning tree: the old
+        # map's newest keyframe BEFORE migration
+        old_anchor = (int(old_map.valid_kf_ids()[-1])
+                      if old_map.n_kf and old_map.kf_valid[: old_map.n_kf].any()
+                      else -1)
         # migrate keyframes
         for k in np.nonzero(cur.kf_valid[: cur.n_kf])[0]:
             R_cw = cur.kf_R[k]
@@ -60,8 +65,23 @@ class Atlas:
                 float(cur.kf_ts[k]), int(cur.kf_frame_id[k]),
                 cur.kf_feat_xy[k], cur.kf_feat_angle[k], cur.kf_feat_octave[k],
                 cur.kf_feat_desc[k], cur.kf_feat_valid[k],
-                ur=cur.kf_feat_ur[k], depth=cur.kf_feat_depth[k])
+                ur=cur.kf_feat_ur[k], depth=cur.kf_feat_depth[k],
+                uvr=cur.kf_feat_uvr[k])
+            # inertial state rides along (reference MergeLocal2 migrates the
+            # full KeyFrame incl. velocity/bias and the mPrevKF chain,
+            # src/LoopClosing.cc:2210-2442): world velocity rotates+scales
+            # into the target world; biases are body-frame, copied as-is
+            old_map.kf_vel[nk] = (s_align * cur.kf_vel[k] @ R_align.T).astype(
+                np.float32)
+            old_map.kf_bias_g[nk] = cur.kf_bias_g[k]
+            old_map.kf_bias_a[nk] = cur.kf_bias_a[k]
             kf_off_ids[int(k)] = nk
+        # spanning-tree parents migrate within the merged block; the block
+        # root attaches to the old map's newest keyframe (the reference
+        # re-parents the merged tree at the weld, src/LoopClosing.cc:2381)
+        for k_old, k_new in kf_off_ids.items():
+            pa = int(cur.kf_parent[k_old])
+            old_map.kf_parent[k_new] = kf_off_ids.get(pa, old_anchor)
         # migrate map points
         mp_ids = cur.valid_mp_ids()
         if len(mp_ids):

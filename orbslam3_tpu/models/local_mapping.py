@@ -985,6 +985,7 @@ class LocalMapper:
         tr = self.inertial
         m = self.map
         with m.lock:
+            snap_epoch = m.remap_epoch
             data = self._gather_vi_joint(kf_id, window)
         if data is None:
             return
@@ -1009,6 +1010,10 @@ class LocalMapper:
             return
         fixed = np.asarray(args["fixed_pose"])
         with m.lock:
+            if m.remap_epoch != snap_epoch:
+                # pools compacted while the solve ran (possible when invoked
+                # from the background GBA thread): gathered ids are stale
+                return
             for i, k in enumerate(win):
                 if i >= n_win or fixed[i] or not m.kf_valid[k]:
                     continue

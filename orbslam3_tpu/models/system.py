@@ -166,12 +166,29 @@ class SlamSystem:
             if self.loop_closer is not None and not initial:
                 if self.loop_closer.process_keyframe(kf_id):
                     # loop corrected → full BA (reference RunGlobalBundleAdjustment
-                    # after CorrectLoop, src/LoopClosing.cc:2587)
-                    self.mapper.global_ba()
+                    # after CorrectLoop, src/LoopClosing.cc:2587). On an
+                    # IMU-initialized map the reference runs FullInertialBA(7)
+                    # instead of visual GBA (:2591-2601) — visual-only GBA
+                    # would move poses/points with no gravity/velocity/bias/
+                    # preintegration terms and desynchronize the per-KF
+                    # velocities the tracker predicts with.
+                    self.run_post_loop_gba(kf_id)
             if len(self.atlas.maps) > 1:
                 self._check_map_merge(kf_id)
 
         self.tracker.on_new_keyframe = on_kf
+
+    def run_post_loop_gba(self, kf_id: int, abort_check=None,
+                          propagate: bool = False) -> bool:
+        """Post-loop-correction global consistency pass: FullInertialBA(7)
+        on IMU-initialized maps (reference src/LoopClosing.cc:2591-2601),
+        visual GBA otherwise."""
+        if getattr(self.tracker, "imu_initialized", False):
+            self.mapper.full_inertial_ba(kf_id, iters=7,
+                                         prior_g=0.0, prior_a=0.0)
+            return True
+        return self.mapper.global_ba(abort_check=abort_check,
+                                     propagate=propagate)
 
     def _on_bad_imu(self):
         """Insufficient motion after IMU init (reference mbBadImu,
@@ -286,6 +303,7 @@ class SlamSystem:
                                                   s_align=float(s))
                     kf_map = self.atlas.last_merge_kf_map
                     self.tracker.remap_trajectory_for_merge(kf_map)
+                    self.tracker.rotate_world_state_for_merge(R_a, float(s))
                     self._bind_map(self.atlas.current)
                     self.tracker.map = self.atlas.current
                     # remap the live frame pose into the merged world
@@ -320,7 +338,14 @@ class SlamSystem:
         for t in group2:
             mapper._fuse_into(pts_nk, int(t), cap)
         m.refresh_map_points(pts_nk)
-        mapper.local_ba(nk)
+        if getattr(self.tracker, "imu_initialized", False):
+            # inertial weld: the joint pose/velocity/bias/landmark window BA
+            # (reference MergeInertialBA, src/Optimizer.cc:6539, called from
+            # MergeLocal2 :2435) — a visual-only weld BA would move the weld
+            # poses off their preintegration chain
+            mapper.local_inertial_ba(nk)
+        else:
+            mapper.local_ba(nk)
         # distribute the residual merge stress over the rest of the map
         # (reference MergeLocal: OptimizeEssentialGraph on keyframes outside
         # the welding window, src/LoopClosing.cc:2141), welding window fixed
@@ -354,6 +379,7 @@ class SlamSystem:
                     self.atlas.merge_current_into(old, R_a.astype(np.float32),
                                                   t_a.astype(np.float32))
                     tr.remap_trajectory_for_merge(self.atlas.last_merge_kf_map)
+                    tr.rotate_world_state_for_merge(R_a)
                 else:
                     tr.freeze_trajectory()
                     self.atlas.current_idx = self.atlas.maps.index(old)

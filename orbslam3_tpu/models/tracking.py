@@ -1962,6 +1962,23 @@ class Tracker:
                 k = nk
             out.append((ts, k, Rcr, tcr, lost))
         self.trajectory = out
+        # preintegration chain: retired-map keyframe ids must follow the
+        # migration or the temporal chain is severed (the reference preserves
+        # mPrevKF/mpImuPreintegrated through MergeLocal2,
+        # src/LoopClosing.cc:2210-2442); deltas are body-frame metric
+        # quantities — ids remap, values don't change
+        if self.kf_preints:
+            self.kf_preints = {
+                kf_map[int(k)]: v for k, v in self.kf_preints.items()
+                if int(k) in kf_map}
+
+    def rotate_world_state_for_merge(self, R_align: np.ndarray,
+                                     s_align: float = 1.0):
+        """Rotate/scale the tracker's world-frame inertial state into the
+        merge target's world (x_old = s·R_a·x_cur + t_a)."""
+        if self.velocity_w is not None:
+            self.velocity_w = (
+                s_align * (R_align @ self.velocity_w)).astype(np.float32)
 
     def reanchor_trajectory(self, k: int):
         """Re-anchor logged frames whose reference keyframe is about to be
