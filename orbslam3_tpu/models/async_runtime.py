@@ -197,13 +197,17 @@ class AsyncRuntime:
                     post_correct=self.release)
                 if corrected:
                     self._start_gba()
-                if len(sysm.atlas.maps) > 1:
-                    sysm._check_map_merge(kf_id)
+                # cross-map merges are detected inside process_keyframe
+                # (LoopCloser._try_merge) — already in this thread
             except Exception as e:
                 if sysm.loop_closer is not None:
                     sysm.loop_closer.stats["lc_errors"] = (
                         sysm.loop_closer.stats.get("lc_errors", 0) + 1)
                     sysm.loop_closer.stats["last_lc_error"] = repr(e)
+            finally:
+                # an exception between pre_correct and post_correct must not
+                # leave the mapper paused forever (release() is idempotent)
+                self.release()
 
     def _pre_correct(self):
         """Before a loop correction: pause the mapper and kill a running GBA

@@ -164,6 +164,14 @@ class LoopCloser:
         # the whole database every keyframe (~2 MB/query over the tunnel)
         self._db_dev = None
         self._db_rows = 0     # rows synced from host
+        # cross-map merge detection (reference DetectNBestCandidates splits
+        # database hits into same-map loop vs other-map merge candidates,
+        # src/KeyFrameDatabase.cc:67, used at src/LoopClosing.cc:592):
+        # system-injected stored-map source + merge executor; per-stored-map
+        # BoW databases are built lazily (stored maps are frozen)
+        self.stored_maps_fn = None     # () -> list[MapState]
+        self.merge_fn = None           # (kf_id, old_map, kf2, S21) -> bool
+        self._merge_dbs: dict = {}     # map_id -> (n_kf, ids, db)
         map_state.on_remap["loop_closer"] = self._on_map_remap
 
     def _db_sync(self, n_kf: int):
@@ -244,12 +252,16 @@ class LoopCloser:
             self.bow_filled[kf_id] = True
             self._db_mark_dirty(kf_id)
 
-            if m.n_kf < self.min_kfs:
-                return False
+            # a young (e.g. freshly spawned) map cannot close loops on itself
+            # yet, but it CAN merge into a stored map — the reference's merge
+            # branch has no map-size gate (src/LoopClosing.cc:592)
+            merge_only = m.n_kf < self.min_kfs
             if (self.last_loop_kf >= 0
                     and kf_id - self.last_loop_kf < self.exclude_recent):
                 return False
             hit = None
+            if merge_only:
+                self.pending = None
             # temporal consistency (reference :398-551): refine the pending
             # candidate's Sim3 against this keyframe; accept only after
             # `consistency_needed` consecutive verifications (:427)
@@ -268,7 +280,7 @@ class LoopCloser:
                     self.pending["misses"] += 1
                     if self.pending["misses"] >= 2:   # reference :448
                         self.pending = None
-            if hit is None and self.pending is None:
+            if hit is None and self.pending is None and not merge_only:
                 with self.timer.stage("11.lc_detect"):
                     cands = self._detect_candidates(kf_id)
                 for c in cands:
@@ -283,6 +295,12 @@ class LoopCloser:
                             hit = (int(c), S21)
                         break
         if hit is None:
+            # no same-map loop: try cross-map place recognition (reference
+            # splits DB hits into loop vs merge candidates; merge verification
+            # belongs to this thread, never the tracker's)
+            if self.stored_maps_fn is not None and self.merge_fn is not None \
+                    and self.pending is None:
+                self._try_merge(kf_id)
             return False
         if pre_correct is not None:
             pre_correct()   # outside the map lock (the mapper may hold it)
@@ -349,6 +367,70 @@ class LoopCloser:
             if len(out) >= n_best:
                 break
         return np.asarray(out, np.int64)
+
+    # ------------------------------------------------------------------
+    def _stored_map_db(self, old) -> tuple[np.ndarray, np.ndarray]:
+        """BoW database of a STORED map (ids, (len(ids), W) matrix), built
+        once — stored maps are frozen until a merge retires or revives them."""
+        key = old.map_id
+        ids = old.valid_kf_ids()
+        cached = self._merge_dbs.get(key)
+        if cached is not None and cached[0] == len(ids) \
+                and np.array_equal(cached[1], ids):
+            return cached[1], cached[2]
+        db = np.zeros((len(ids), self.vocab.n_words), np.float32)
+        for i, k in enumerate(ids):
+            words = self.transform(jnp.asarray(old.kf_feat_desc[int(k)]),
+                                   jnp.asarray(old.kf_feat_valid[int(k)]))
+            db[i] = np.asarray(self.bow(words))
+        self._merge_dbs[key] = (len(ids), ids.copy(), db)
+        return ids, db
+
+    def detect_merge_candidates(self, kf_id: int, n_best: int = 3):
+        """Database query of the new keyframe against every STORED map
+        (reference DetectNBestCandidates' merge split,
+        src/KeyFrameDatabase.cc:67): common-words > 0.8·max gate per map,
+        L1-score ranked. Returns [(map, kf2), ...] best first — candidates
+        anywhere in a stored map, not just its newest keyframes."""
+        if self.stored_maps_fn is None:
+            return []
+        q = self.bow_db[kf_id]
+        out = []
+        for old in self.stored_maps_fn():
+            ids, db = self._stored_map_db(old)
+            if len(ids) == 0:
+                continue
+            common = ((db > 0) & (q > 0)[None, :]).sum(-1)
+            if common.max() == 0:
+                continue
+            eligible = common > 0.8 * common.max()
+            scores = np.where(eligible,
+                              -np.abs(db - q[None, :]).sum(-1), -np.inf)
+            order = np.argsort(-scores)[:n_best]
+            for i in order:
+                if np.isfinite(scores[i]):
+                    out.append((float(scores[i]), old, int(ids[i])))
+        out.sort(key=lambda x: -x[0])
+        return [(old, k2) for (_, old, k2) in out[:n_best]]
+
+    def _try_merge(self, kf_id: int) -> bool:
+        """Merge detection at keyframe rate, in the loop-closing thread (the
+        reference's NewDetectCommonRegions merge branch) — replaces the r3
+        brute-force scan of each stored map's 10 newest keyframes that ran
+        inline in the tracking thread."""
+        if self.merge_fn is None:
+            return False
+        m = self.map
+        for old, k2 in self.detect_merge_candidates(kf_id):
+            with m.lock, old.lock:
+                ok, S21 = self._verify_candidate(kf_id, k2, map1=m, map2=old)
+            if not ok:
+                continue
+            self.stats["merges_detected"] = (
+                self.stats.get("merges_detected", 0) + 1)
+            if self.merge_fn(kf_id, old, k2, S21):
+                return True
+        return False
 
     # ------------------------------------------------------------------
     def _detect_candidates(self, kf_id: int, n_best: int = 3) -> np.ndarray:

@@ -146,6 +146,10 @@ class SlamSystem:
             # KeyFrameDatabase::DetectRelocalizationCandidates)
             self.tracker.reloc_candidates_fn = (
                 self.loop_closer.detect_relocalization_candidates)
+            # cross-map merge detection lives in the loop closer (reference
+            # DetectNBestCandidates' merge split); execution stays here
+            self.loop_closer.stored_maps_fn = self.atlas.stored_maps
+            self.loop_closer.merge_fn = self._merge_with
 
         self.mapper.on_poses_corrected = self._on_world_corrected
         self.mapper.on_bad_imu = self._on_bad_imu
@@ -173,7 +177,10 @@ class SlamSystem:
                     # preintegration terms and desynchronize the per-KF
                     # velocities the tracker predicts with.
                     self.run_post_loop_gba(kf_id)
-            if len(self.atlas.maps) > 1:
+            if len(self.atlas.maps) > 1 and self.loop_closer is None:
+                # merge detection normally rides the loop closer's database
+                # query (LoopCloser._try_merge); brute-force fallback only
+                # when loop closing is disabled
                 self._check_map_merge(kf_id)
 
         self.tracker.on_new_keyframe = on_kf
@@ -274,10 +281,12 @@ class SlamSystem:
         self.tracker.reset_for_new_map(new_map)
 
     def _check_map_merge(self, kf_id: int) -> bool:
-        """Cross-map place recognition at keyframe rate (reference
-        NewDetectCommonRegions merge branch → MergeLocal2): verify the new KF
-        against stored maps' keyframes; success triggers an Atlas merge with
-        the Sim3 from the verification."""
+        """Fallback cross-map place recognition when no loop closer is bound
+        (loop closing disabled): verify the new KF against stored maps' most
+        recent keyframes. With a loop closer, merge detection instead runs as
+        a BoW database query against WHOLE stored maps inside the
+        loop-closing thread (LoopCloser._try_merge — reference
+        NewDetectCommonRegions merge branch, src/LoopClosing.cc:592)."""
         from .loop_closing import LoopCloser
         cur = self.atlas.current
         closer = self.loop_closer
@@ -290,38 +299,47 @@ class SlamSystem:
                                                        map1=cur, map2=old)
                 if not ok:
                     continue
-                with cur.lock, old.lock:
-                    # S21: x_kf2 = s R x_kf1 + t (camera frames). World
-                    # alignment: W_old = T_kf2⁻¹ ∘ S21 ∘ T_kf1 (W_cur)
-                    s, R21, t21 = S21
-                    R1, t1 = cur.kf_R[kf_id], cur.kf_t[kf_id]
-                    R2, t2 = old.kf_R[int(k2)], old.kf_t[int(k2)]
-                    R_a = R2.T @ R21 @ R1
-                    t_a = R2.T @ (s * (R21 @ t1) + t21 - t2)
-                    self.atlas.merge_current_into(old, R_a.astype(np.float32),
-                                                  t_a.astype(np.float32),
-                                                  s_align=float(s))
-                    kf_map = self.atlas.last_merge_kf_map
-                    self.tracker.remap_trajectory_for_merge(kf_map)
-                    self.tracker.rotate_world_state_for_merge(R_a, float(s))
-                    self._bind_map(self.atlas.current)
-                    self.tracker.map = self.atlas.current
-                    # remap the live frame pose into the merged world
-                    lf = self.tracker.last_frame
-                    if lf is not None and lf.R is not None:
-                        R_new = lf.R @ R_a.T
-                        t_new = float(s) * lf.t - R_new @ t_a
-                        lf.R, lf.t = (R_new.astype(np.float32),
-                                      t_new.astype(np.float32))
-                    self.tracker.ref_kf = int(old.valid_kf_ids()[-1])
-                    # welding pass (reference MergeLocal :2028: fuse
-                    # duplicated landmarks across the weld, then a local
-                    # welding BA around the seam)
-                    nk = kf_map.get(int(kf_id))
-                    if nk is not None:
-                        self._weld(nk, int(k2))
-                return True
+                if self._merge_with(kf_id, old, int(k2), S21):
+                    return True
         return False
+
+    def _merge_with(self, kf_id: int, old, k2: int, S21) -> bool:
+        """Execute an Atlas merge given a verified Sim3 between current-map
+        ``kf_id`` and stored-map ``k2`` (reference MergeLocal2 entry)."""
+        cur = self.atlas.current
+        if not cur.kf_valid[kf_id] or not old.kf_valid[k2]:
+            return False
+        with cur.lock, old.lock:
+            # S21: x_kf2 = s R x_kf1 + t (camera frames). World
+            # alignment: W_old = T_kf2⁻¹ ∘ S21 ∘ T_kf1 (W_cur)
+            s, R21, t21 = S21
+            R1, t1 = cur.kf_R[kf_id], cur.kf_t[kf_id]
+            R2, t2 = old.kf_R[int(k2)], old.kf_t[int(k2)]
+            R_a = R2.T @ R21 @ R1
+            t_a = R2.T @ (s * (R21 @ t1) + t21 - t2)
+            self.atlas.merge_current_into(old, R_a.astype(np.float32),
+                                          t_a.astype(np.float32),
+                                          s_align=float(s))
+            kf_map = self.atlas.last_merge_kf_map
+            self.tracker.remap_trajectory_for_merge(kf_map)
+            self.tracker.rotate_world_state_for_merge(R_a, float(s))
+            self._bind_map(self.atlas.current)
+            self.tracker.map = self.atlas.current
+            # remap the live frame pose into the merged world
+            lf = self.tracker.last_frame
+            if lf is not None and lf.R is not None:
+                R_new = lf.R @ R_a.T
+                t_new = float(s) * lf.t - R_new @ t_a
+                lf.R, lf.t = (R_new.astype(np.float32),
+                              t_new.astype(np.float32))
+            self.tracker.ref_kf = int(old.valid_kf_ids()[-1])
+            # welding pass (reference MergeLocal :2028: fuse duplicated
+            # landmarks across the weld, then a local welding BA around
+            # the seam)
+            nk = kf_map.get(int(kf_id))
+            if nk is not None:
+                self._weld(nk, int(k2))
+        return True
 
     def _weld(self, nk: int, k2: int, cap: int = 4096):
         """Fuse duplicated landmarks between the migrated keyframe ``nk`` and
@@ -473,6 +491,45 @@ class SlamSystem:
             for i in range(len(ts)):
                 f.write(f"{ts[i]*1e9:.0f} " + " ".join(f"{v:.9f}" for v in t_wc[i])
                         + f" {q[i,3]:.9f} {q[i,0]:.9f} {q[i,1]:.9f} {q[i,2]:.9f}\n")
+
+    def _keyframe_poses(self):
+        """(ts, R_wc, t_wc) per valid keyframe of the active map."""
+        self.tracker.flush_pending()
+        m = self.map
+        with m.lock:
+            ids = m.valid_kf_ids()
+            ts = m.kf_ts[ids].copy()
+            R_cw = m.kf_R[ids].copy()
+            t_cw = m.kf_t[ids].copy()
+        R_wc = R_cw.transpose(0, 2, 1)
+        t_wc = -np.einsum("nij,nj->ni", R_wc, t_cw)
+        return ts, R_wc, t_wc
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe poses, TUM format (reference SaveKeyFrameTrajectoryTUM
+        src/System.cc:517: ts tx ty tz qx qy qz qw per keyframe)."""
+        import jax.numpy as jnp
+        from ..ops import lie
+        ts, R_wc, t_wc = self._keyframe_poses()
+        q = np.asarray(lie.quat_from_mat(jnp.asarray(R_wc)))
+        with open(path, "w") as f:
+            for i in range(len(ts)):
+                f.write(f"{ts[i]:.6f} " + " ".join(f"{v:.7f}" for v in t_wc[i])
+                        + " " + " ".join(f"{v:.7f}" for v in q[i]) + "\n")
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """Keyframe poses, EuRoC format (reference SaveKeyFrameTrajectoryEuRoC
+        src/System.cc:649: ts_ns tx ty tz qw qx qy qz per keyframe)."""
+        import jax.numpy as jnp
+        from ..ops import lie
+        ts, R_wc, t_wc = self._keyframe_poses()
+        q = np.asarray(lie.quat_from_mat(jnp.asarray(R_wc)))  # (x,y,z,w)
+        with open(path, "w") as f:
+            for i in range(len(ts)):
+                f.write(f"{ts[i]*1e9:.0f} "
+                        + " ".join(f"{v:.9f}" for v in t_wc[i])
+                        + f" {q[i,3]:.9f} {q[i,0]:.9f} {q[i,1]:.9f}"
+                        f" {q[i,2]:.9f}\n")
 
     def save_trajectory_kitti(self, path: str):
         """KITTI format: 12 values of the 3x4 [R|t] world←camera matrix per line

@@ -1215,10 +1215,11 @@ class Tracker:
 
     def _project_and_assign(self, frame: Frame, mp_ids: np.ndarray, cap: int,
                             radius: float, ratio: float, max_dist: int,
-                            view_cos: float = 0.5, count_visible: bool = False) -> int:
+                            view_cos: float = 0.5, count_visible: bool = False,
+                            in_map: MapState | None = None) -> int:
         """Fused frustum+projection matcher against the device-resident pool:
         uploads pose + one id vector, downloads one packed buffer."""
-        m = self.map
+        m = in_map if in_map is not None else self.map
         mp_ids = np.asarray(mp_ids, np.int32)[:cap]
         mp_ids = mp_ids[m.mp_valid[mp_ids]]
         n = len(mp_ids)
@@ -1732,6 +1733,26 @@ class Tracker:
                         frame.R = np.asarray(res.R)
                         frame.t = np.asarray(res.t)
             inl = self._optimize_frame_pose(frame, in_map=m)
+            if inl < self.p.min_local_inliers and inl >= 10:
+                # guided-matching rescue (reference src/Tracking.cc:4293-4345):
+                # a near-miss candidate gets two SearchByProjection rounds
+                # around the optimized pose — wide (radius 10 px) then narrow
+                # (3 px) — each followed by a re-optimization, instead of
+                # being rejected on the single pose-opt verdict
+                group = np.concatenate(
+                    [[k], m.best_covisible(k, 10, min_weight=15)])
+                mps = m.local_map_points(group.astype(np.int32))
+                for radius in (10.0, 3.0):
+                    if len(mps) == 0:
+                        break
+                    added = self._project_and_assign(
+                        frame, mps, 2048, radius=radius, ratio=0.9,
+                        max_dist=match_ops.TH_HIGH, in_map=m)
+                    if added == 0:
+                        continue
+                    inl = self._optimize_frame_pose(frame, in_map=m)
+                    if inl >= self.p.min_local_inliers:
+                        break
             if inl >= self.p.min_local_inliers:
                 self.ref_kf = k
                 self.frames_since_reloc = 0

@@ -34,17 +34,30 @@ from orbslam3_tpu.utils.evaluation import evaluate_trajectory
 
 
 def main(n_frames=120, pipeline=True, kf_int=5, redundancy=0.9):
+    import time
     import jax
     print("backend:", jax.default_backend(), jax.devices())
+    traj = os.environ.get("DBG_TRAJ", "orbit")
+    mode = os.environ.get("DBG_MAPPING", "sync")
+    print("traj:", traj, " mapping:", mode)
     scene = RoomScene(seed=1, n_clutter=4)
-    poses = orbit_trajectory(n_frames, radius=1.0, forward=0.0)
+    if traj == "walk":
+        from orbslam3_tpu.utils.datasets import walk_trajectory
+        poses = walk_trajectory(n_frames, period=280)
+    else:
+        poses = orbit_trajectory(n_frames, radius=1.0, forward=0.0)
     imgs = [scene.render(R, t) for (R, t) in poses]
     slam = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=1024,
-                      seed=0,
+                      seed=0, mapping_mode=mode,
                       tracking_params=TrackingParams(
                           kf_interval_override=kf_int, pipeline=pipeline))
     gt = np.array([-R.T @ t for (R, t) in poses])
+    dump_at = int(os.environ.get("DBG_DUMP_AT", "0"))
     for i, (R, t) in enumerate(poses):
+        if dump_at and i == dump_at:
+            import faulthandler
+            print(f"=== thread stacks at frame {i} ===", flush=True)
+            faulthandler.dump_traceback()
         info = slam.track_monocular(imgs[i], ts=float(i) / 20.0)
         if (i + 1) % 10 == 0:
             slam.tracker.flush_pending()
@@ -59,11 +72,16 @@ def main(n_frames=120, pipeline=True, kf_int=5, redundancy=0.9):
                         t_wc[sel], with_scale=True)
                 except Exception as e:
                     ate = f"err:{e!r}"
+            q = (len(slam.runtime.kf_queue)
+                 if slam.runtime is not None else -1)
             print(f"f{i+1:4d} state={slam.state.name:6s} "
                   f"kf={st['n_keyframes']:3d} mp={st['n_map_points']:5d} "
                   f"culled_kf={st.get('culled_kf', 0):3d} "
                   f"culled_mp={st.get('culled_mp', 0):5d} "
-                  f"lost={int(lost.sum()):3d} ate={ate}")
+                  f"lost={int(lost.sum()):3d} q={q} "
+                  f"merr={st.get('mapper_errors', 0)}"
+                  f"{' LAST:' + str(st.get('last_mapper_error'))[:120] if st.get('mapper_errors') else ''} "
+                  f"ate={ate}")
     lc = {k: v for k, v in slam.stats().items() if k.startswith(("loops", "lc"))}
     print("loop stats:", lc)
     print("kf ids:", slam.map.valid_kf_ids())
