@@ -251,6 +251,20 @@ class LoopCloser:
             self.bow_db[kf_id] = np.asarray(self.bow(words))
             self.bow_filled[kf_id] = True
             self._db_mark_dirty(kf_id)
+            # backfill keyframes that never passed through this method —
+            # bootstrap KFs (inserted with initial=True) and merge-migrated
+            # KFs. Without rows the START of every map is invisible to the
+            # database, so a revisit of the map origin could only surface
+            # mid-lap candidates with marginal view overlap (r4 root cause
+            # of the walk-revisit loop-closure failure).
+            missing = np.nonzero(m.kf_valid[: m.n_kf]
+                                 & ~self.bow_filled[: m.n_kf])[0]
+            for k in missing[:8]:
+                w = self.transform(jnp.asarray(m.kf_feat_desc[int(k)]),
+                                   jnp.asarray(m.kf_feat_valid[int(k)]))
+                self.bow_db[int(k)] = np.asarray(self.bow(w))
+                self.bow_filled[int(k)] = True
+                self._db_mark_dirty(int(k))
 
             # a young (e.g. freshly spawned) map cannot close loops on itself
             # yet, but it CAN merge into a stored map — the reference's merge
@@ -507,19 +521,25 @@ class LoopCloser:
         default to this closer's map; passing a different map2 verifies a
         cross-map (Atlas merge) candidate."""
         from ..ops import camera as cam_ops
+
+        def _fail(stage):
+            self.stats[f"lc_vfail_{stage}"] = (
+                self.stats.get(f"lc_vfail_{stage}", 0) + 1)
+            return False, None
+
         m = map1 if map1 is not None else self.map
         m2 = map2 if map2 is not None else self.map
         has1 = m.kf_feat_valid[kf1] & (m.kf_feat_mp[kf1] >= 0)
         has2 = m2.kf_feat_valid[kf2] & (m2.kf_feat_mp[kf2] >= 0)
         if has1.sum() < self.n_bow_matches or has2.sum() < self.n_bow_matches:
-            return False, None
+            return _fail("has")
         idx, best, ok = matching.search_by_descriptor(
             jnp.asarray(m.kf_feat_desc[kf1]), jnp.asarray(has1),
             jnp.asarray(m2.kf_feat_desc[kf2]), jnp.asarray(has2),
             max_dist=matching.TH_LOW, ratio=0.9)
         okn = np.asarray(ok)
         if okn.sum() < self.n_bow_matches:   # nBoWMatches (reference 20)
-            return False, None
+            return _fail("bow")
         f1 = np.nonzero(okn)[0]
         f2 = np.asarray(idx)[f1]
         mp1 = m.kf_feat_mp[kf1][f1]
@@ -528,11 +548,11 @@ class LoopCloser:
         f1, f2, mp1, mp2 = f1[sel], f2[sel], mp1[sel], mp2[sel]
         n = len(mp1)
         if n < self.n_bow_inliers:
-            return False, None
+            return _fail("pairs")
         # degenerate guard: a same-map "loop" whose matches are mostly the
         # SAME landmarks carries no closure information (its Sim3 is a no-op)
         if m is m2 and n and (mp1 == mp2).mean() > 0.5:
-            return False, None
+            return _fail("samemp")
         # camera-frame 3D positions
         x1 = m.mp_xyz[mp1] @ m.kf_R[kf1].T + m.kf_t[kf1]
         x2 = m2.mp_xyz[mp2] @ m2.kf_R[kf2].T + m2.kf_t[kf2]
@@ -556,7 +576,10 @@ class LoopCloser:
             jnp.asarray(self.cam_params), fix_scale=self.fix_scale,
             min_inliers=self.n_bow_inliers, cam_type=self.cam_type)
         if not bool(res.success):
-            return False, None
+            self.stats.setdefault("lc_vfail_log", []).append(
+                ("ransac", int(kf1), int(kf2), float(m.kf_ts[kf1]),
+                 float(m2.kf_ts[kf2]), int(n), int(res.n_inliers)))
+            return _fail("ransac")
         # OptimizeSim3 on the matched pairs (reference Optimizer.cc:3555)
         opt = sim3_ops.optimize_sim3(
             jnp.asarray(x1p), jnp.asarray(x2p),
@@ -568,23 +591,24 @@ class LoopCloser:
             jnp.asarray(self.cam_params), fix_scale=self.fix_scale,
             cam_type=self.cam_type)
         if int(opt.n_inliers) < self.n_sim3_inliers:   # nSim3Inliers (20)
-            return False, None
+            return _fail("sim3opt")
         S21 = (float(opt.s), np.asarray(opt.R), np.asarray(opt.t))
         if not np.isfinite(S21[0]) or not np.isfinite(S21[1]).all():
-            return False, None
+            return _fail("finite")
         # guided projection through the refined Sim3 (SearchBySim3 analogue)
         n_guided, g_mp2, g_feat1 = self._guided_projection(
             kf1, kf2, S21, map1=m, map2=m2, radius=8.0)
         if n_guided < self.n_proj_matches:   # nProjMatches (reference 50)
-            return False, None
+            return _fail("guided")
         # re-optimize on the extended pair set, then a tight recount
         S21b = self._optimize_pairs(kf1, kf2, S21, g_mp2, g_feat1, m, m2)
         if S21b is None:
-            return False, None
+            return _fail("optpairs")
         n_final, _, _ = self._guided_projection(
             kf1, kf2, S21b, map1=m, map2=m2, radius=3.0)
         if n_final < self.n_proj_opt_matches:   # nProjOptMatches (80)
-            return False, None
+            self.stats["lc_vfail_last_n_final"] = int(n_final)
+            return _fail("final")
         return True, S21b
 
     # ------------------------------------------------------------------
@@ -729,12 +753,19 @@ class LoopCloser:
         n_guided, g_mp2, g_feat1 = self._guided_projection(
             kf_new, cand, S21g, radius=8.0)
         if n_guided < 30:                      # reference nProjMatches=30
+            self.stats["lc_refine_fail_guided"] = (
+                self.stats.get("lc_refine_fail_guided", 0) + 1)
             return False, None
         S21b = self._optimize_pairs(kf_new, cand, S21g, g_mp2, g_feat1, m, m)
         if S21b is None:
+            self.stats["lc_refine_fail_opt"] = (
+                self.stats.get("lc_refine_fail_opt", 0) + 1)
             return False, None
         n_final, _, _ = self._guided_projection(kf_new, cand, S21b, radius=3.0)
         if n_final < min(100, self.n_proj_opt_matches):  # nProjMatchesRep=100
+            self.stats["lc_refine_fail_final"] = (
+                self.stats.get("lc_refine_fail_final", 0) + 1)
+            self.stats["lc_refine_last_n_final"] = int(n_final)
             return False, None
         return True, S21b
 

@@ -261,6 +261,9 @@ class RoomScene:
         return R_cw, t_r
 
     def _pixel_rays(self):
+        cached = getattr(self, "_rays_cache", None)
+        if cached is not None:
+            return cached
         uu, vv = np.meshgrid(np.arange(self.w), np.arange(self.h))
         if self.kb8_params is not None:
             import jax.numpy as jnp
@@ -268,9 +271,12 @@ class RoomScene:
             uvs = np.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(np.float32)
             rays = np.asarray(cam_ops.kb8_unproject(
                 jnp.asarray(self.kb8_params, jnp.float32), jnp.asarray(uvs)))
-            return rays.reshape(self.h, self.w, 3).astype(float)
-        return np.stack([(uu - self.cx) / self.fx, (vv - self.cy) / self.fy,
-                         np.ones_like(uu, float)], axis=-1)
+            self._rays_cache = rays.reshape(self.h, self.w, 3).astype(float)
+        else:
+            self._rays_cache = np.stack(
+                [(uu - self.cx) / self.fx, (vv - self.cy) / self.fy,
+                 np.ones_like(uu, float)], axis=-1)
+        return self._rays_cache
 
     def render(self, R_cw: np.ndarray, t_cw: np.ndarray,
                return_depth: bool = False):

@@ -33,7 +33,9 @@ from orbslam3_tpu.utils.datasets import RoomScene, orbit_trajectory
 from orbslam3_tpu.utils.evaluation import evaluate_trajectory
 
 
-def main(n_frames=120, pipeline=True, kf_int=5, redundancy=0.9):
+def main(n_frames=120, pipeline=True, kf_int=None, redundancy=0.9):
+    if kf_int is None:
+        kf_int = int(os.environ.get("DBG_KFINT", "5"))
     import time
     import jax
     print("backend:", jax.default_backend(), jax.devices())
@@ -47,18 +49,41 @@ def main(n_frames=120, pipeline=True, kf_int=5, redundancy=0.9):
     else:
         poses = orbit_trajectory(n_frames, radius=1.0, forward=0.0)
     imgs = [scene.render(R, t) for (R, t) in poses]
+    tp = TrackingParams(kf_interval_override=kf_int, pipeline=pipeline)
+    if os.environ.get("DBG_NO_PRIOR"):
+        tp.pose_prior_eps = 0.0
+    if os.environ.get("DBG_NO_ANCHOR"):
+        tp.cv_predict_min_px = 0.0
     slam = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=1024,
-                      seed=0, mapping_mode=mode,
-                      tracking_params=TrackingParams(
-                          kf_interval_override=kf_int, pipeline=pipeline))
+                      seed=0, mapping_mode=mode, tracking_params=tp,
+                      kf_cull_redundancy=float(
+                          os.environ.get("DBG_REDUNDANCY", "0.9")))
     gt = np.array([-R.T @ t for (R, t) in poses])
     dump_at = int(os.environ.get("DBG_DUMP_AT", "0"))
+    t_loop0 = time.perf_counter()
+    ev = os.environ.get("DBG_EVERY")
+    ev_from = int(ev) if ev else None
     for i, (R, t) in enumerate(poses):
         if dump_at and i == dump_at:
             import faulthandler
             print(f"=== thread stacks at frame {i} ===", flush=True)
             faulthandler.dump_traceback()
+        tf0 = time.perf_counter()
         info = slam.track_monocular(imgs[i], ts=float(i) / 20.0)
+        if ev_from is not None and i >= ev_from:
+            tr = slam.tracker
+            tr.flush_pending()
+            lf = tr.last_frame
+            extra = ""
+            if lf is not None and lf.R is not None:
+                mp = lf.feat_mp[lf.feat_mp >= 0]
+                old_frac = (float((mp < 500).mean()) if len(mp) else -1)
+                c = -lf.R.T @ lf.t
+                extra = (f" ref_kf={tr.ref_kf} fused={getattr(lf, '_fused_done', False)}"
+                         f" nmp={len(mp)} frac_lowid={old_frac:.2f}"
+                         f" c=({c[0]:.2f},{c[1]:.2f},{c[2]:.2f})")
+            print(f"  f{i:4d} {time.perf_counter()-tf0:7.3f}s {info}{extra}",
+                  flush=True)
         if (i + 1) % 10 == 0:
             slam.tracker.flush_pending()
             st = slam.stats()
@@ -82,9 +107,39 @@ def main(n_frames=120, pipeline=True, kf_int=5, redundancy=0.9):
                   f"merr={st.get('mapper_errors', 0)}"
                   f"{' LAST:' + str(st.get('last_mapper_error'))[:120] if st.get('mapper_errors') else ''} "
                   f"ate={ate}")
+    slam.tracker.flush_pending()
+    wall = time.perf_counter() - t_loop0
+    print(f"wall: {wall:.1f}s  fps={n_frames / wall:.2f}")
+    # per-frame error profile after similarity alignment
+    try:
+        from orbslam3_tpu.utils.evaluation import horn_align
+        ts, R_wc, t_wc, lost = slam.export_trajectory()
+        sel = ~lost
+        gi = np.rint(ts[sel] * 20.0).astype(int)
+        gi = np.clip(gi, 0, n_frames - 1)
+        R_al, t_al, s_al = horn_align(t_wc[sel], gt[gi], with_scale=True)
+        aligned = (s_al * (R_al @ t_wc[sel].T)).T + t_al
+        err = np.linalg.norm(aligned - gt[gi], axis=1)
+        worst = np.argsort(-err)[:12]
+        print("scale:", round(s_al, 4), "worst frames:",
+              [(int(gi[w]), round(float(err[w]), 3)) for w in worst])
+        # per-segment scale profile: est displacement / gt displacement over
+        # 10-frame windows — exposes mono scale drift along the run
+        d_est = np.linalg.norm(np.diff(t_wc[sel], axis=0), axis=1)
+        d_gt = np.linalg.norm(np.diff(gt[gi], axis=0), axis=1)
+        n_w = len(d_est) // 10
+        prof = [round(float(d_est[w * 10:(w + 1) * 10].sum()
+                            / max(d_gt[w * 10:(w + 1) * 10].sum(), 1e-9)), 4)
+                for w in range(n_w)]
+        print("segment scale (est/gt, 10-frame windows):", prof)
+    except Exception as e:
+        print("err profile failed:", repr(e))
     lc = {k: v for k, v in slam.stats().items() if k.startswith(("loops", "lc"))}
     print("loop stats:", lc)
     print("kf ids:", slam.map.valid_kf_ids())
+    st = slam.stats().get("stage_times", {})
+    print("stages:", {k: round(v.get("median_ms", 0), 1)
+                      for k, v in st.items()})
 
 
 if __name__ == "__main__":
