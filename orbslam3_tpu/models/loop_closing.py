@@ -578,7 +578,10 @@ class LoopCloser:
         if not bool(res.success):
             self.stats.setdefault("lc_vfail_log", []).append(
                 ("ransac", int(kf1), int(kf2), float(m.kf_ts[kf1]),
-                 float(m2.kf_ts[kf2]), int(n), int(res.n_inliers)))
+                 float(m2.kf_ts[kf2]),
+                 dict(has1=int(has1.sum()), has2=int(has2.sum()),
+                      raw=int(okn.sum()), pairs=int(n),
+                      inl=int(res.n_inliers))))
             return _fail("ransac")
         # OptimizeSim3 on the matched pairs (reference Optimizer.cc:3555)
         opt = sim3_ops.optimize_sim3(

@@ -120,6 +120,11 @@ class MapState:
         self.mp_first_kf = np.full(P, -1, np.int32)
         self.mp_visible = np.zeros(P, np.int32)
         self.mp_found = np.zeros(P, np.int32)
+        # forwarding pointer set by fuse replacement (reference
+        # MapPoint::Replace stores mpReplaced, src/MapPoint.cc:254):
+        # live frames resolve fused-away ids to their successors instead of
+        # silently losing them (Tracking::CheckReplacedInLastFrame)
+        self.mp_replaced = np.full(P, -1, np.int32)
         self.n_mp = 0
 
         # compaction/growth protocol: consumers holding kf/mp ids register a
@@ -155,7 +160,7 @@ class MapState:
                   "kf_bias_a", "kf_parent")
     _MP_ARRAYS = ("mp_valid", "mp_xyz", "mp_desc", "mp_normal", "mp_min_dist",
                   "mp_max_dist", "mp_ref_kf", "mp_first_kf", "mp_visible",
-                  "mp_found")
+                  "mp_found", "mp_replaced")
 
     # ------------------------------------------------------------------
     # pool lifecycle: compaction + growth (bounded-memory long runs)
@@ -187,6 +192,7 @@ class MapState:
             a = getattr(self, name)
             a[:npt] = a[mp_keep]
         self.mp_valid[npt:old_n_mp] = False
+        self.mp_replaced[npt:old_n_mp] = -1   # slots will be re-issued
         self.n_kf, self.n_mp = nk, npt
 
         # remap value references: feature→point assignments (mp ids) ...
@@ -205,6 +211,10 @@ class MapState:
                 near = np.searchsorted(kf_keep, a[dang])
                 new[dang] = np.clip(near, 0, nk - 1)
             a[:] = new
+        # replacement-forwarding targets are mp ids (drop if target culled)
+        rep = self.mp_replaced[:npt]
+        okr = rep >= 0
+        rep[okr] = mp_remap[np.clip(rep[okr], 0, P_cap - 1)]
         # spanning-tree parents are kf ids too; a culled parent falls back to
         # the nearest surviving predecessor (its compacted position)
         pa = self.kf_parent[:nk]
@@ -244,7 +254,8 @@ class MapState:
         if grow_mp:
             for name in self._MP_ARRAYS:
                 a = getattr(self, name)
-                fill = -1 if name in ("mp_ref_kf", "mp_first_kf") else 0
+                fill = (-1 if name in ("mp_ref_kf", "mp_first_kf",
+                                       "mp_replaced") else 0)
                 b = np.full((newP,) + a.shape[1:], fill, a.dtype)
                 b[:P_cap] = a
                 setattr(self, name, b)
@@ -379,6 +390,7 @@ class MapState:
         lut = np.arange(self.cfg.max_map_points, dtype=np.int32)
         lut[old_ids] = new_ids
         self.mp_valid[old_ids] = False
+        self.mp_replaced[old_ids] = new_ids
         native.replace_points(self.kf_feat_mp[: self.n_kf], lut,
                               self.cfg.max_map_points)
         self.touch()

@@ -210,6 +210,9 @@ class Tracker:
         self._last_reloc_frame_id: int = -(10 ** 9)
         self.frames_since_reloc = 0
         self.n_frames = 0
+        # running inlier average for the adaptive collapse gate
+        # (_min_local_inliers); None until tracking stabilizes
+        self.inlier_ema: float | None = None
         # Atlas hooks (set by the system): called when tracking stays lost
         # (reference CreateMapInAtlas src/Tracking.cc:2914) and for cross-map
         # relocalization that triggers a map merge
@@ -1018,6 +1021,51 @@ class Tracker:
     # ------------------------------------------------------------------
     # tracking
     # ------------------------------------------------------------------
+    def _last_track_healthy(self) -> bool:
+        """Was the last frame tracked with a healthy inlier count? Gates the
+        anchored motion model and the weak last-pose prior: both are
+        drift-suppression devices that presume good tracking, and both turn
+        into a frozen-pose attractor when applied to a degraded estimate."""
+        lf = self.last_frame
+        if lf is None or not lf.tracked:
+            return False
+        return lf.n_matched() >= max(20, int(0.1 * self.orb_cfg.total_capacity))
+
+    def _check_replaced_in_last_frame(self):
+        """Forward fused-away map-point ids in the last frame to their
+        replacements (reference Tracking::CheckReplacedInLastFrame,
+        src/Tracking.cc:2159: Frame::mvpMapPoints follow MapPoint's
+        mpReplaced). Without this, a fuse burst — e.g. the mass duplicate
+        merge when a loop/revisit reconnects two map generations — silently
+        drops most of the motion-model candidate set and tracking collapses
+        (r4 walk-revisit root cause: n1 370→9 across four frames)."""
+        lf = self.last_frame
+        if lf is None:
+            return
+        m = self.map
+        fm = lf.feat_mp
+        pos = np.nonzero(fm >= 0)[0]
+        if len(pos) == 0:
+            return
+        ids = fm[pos]
+        if m.mp_valid[ids].all():
+            return
+        fwd = ids.copy()
+        for _ in range(4):          # bounded chain resolution
+            b = ~m.mp_valid[fwd] & (m.mp_replaced[fwd] >= 0)
+            if not b.any():
+                break
+            fwd[b] = m.mp_replaced[fwd[b]]
+        fwd[~m.mp_valid[fwd]] = -1
+        fm[pos] = fwd
+        # two features forwarding to one survivor: keep the first
+        live = np.nonzero(fm >= 0)[0]
+        order = live[np.argsort(fm[live], kind="stable")]
+        v = fm[order]
+        dup = np.zeros(len(order), bool)
+        dup[1:] = v[1:] == v[:-1]
+        fm[order[dup]] = -1
+
     def _can_fuse_track(self) -> bool:
         return (self.state == TrackState.OK and self.use_fused_track
                 and not self.imu_initialized
@@ -1028,6 +1076,7 @@ class Tracker:
         # registered so a mid-frame world transform (IMU init / VIBA gravity-
         # scale refinement) can remap the in-flight pose too (try_imu_init)
         self.current_frame = frame
+        self._check_replaced_in_last_frame()
         ok = False
         if allow_fused and self._can_fuse_track():
             with self.timer.stage("3f.fused_track"):
@@ -1072,6 +1121,10 @@ class Tracker:
         if ok:
             self.state = TrackState.OK
             frame.tracked = True
+            inl_now = float(getattr(self, "n_local_inliers", 0) or 0)
+            if inl_now > 0:
+                self.inlier_ema = (inl_now if self.inlier_ema is None
+                                   else 0.9 * self.inlier_ema + 0.1 * inl_now)
             # world body-velocity estimate for IMU prediction — finite
             # differences ONLY before IMU init; afterwards velocity is a
             # state of the visual-inertial optimizer (reference keeps
@@ -1107,6 +1160,7 @@ class Tracker:
         else:
             self.velocity = None
             self.pose_prior_H = None
+            self.inlier_ema = None    # recovery restarts the adaptive gate
             if self.state == TrackState.OK:
                 self.lost_ts = frame.ts
             if self.map.n_kf > 10:
@@ -1138,6 +1192,7 @@ class Tracker:
         self.kf_preints = {}
         self.preint_since_kf = None
         self.pose_prior_H = None
+        self.inlier_ema = None
 
     def _predict_pose(self, frame: Frame):
         """Motion-model prediction with anchored translation for slow motion.
@@ -1168,6 +1223,14 @@ class Tracker:
         Rp = Rp.astype(np.float32)
         tp = tp.astype(np.float32)
         thresh = self.p.cv_predict_min_px
+        if not self._last_track_healthy():
+            # anchoring exists to stop an EXTRAPOLATED seed from integrating
+            # estimator bias along near-null directions — a protection that
+            # presumes tracking is healthy. With a degraded last frame it
+            # becomes an attractor: the pose freezes at the last estimate,
+            # aliased texture keeps feeding ~50 self-consistent matches, and
+            # the frame never escapes (r4 walk-revisit frozen-pose mode).
+            thresh = 0.0
         if thresh > 0.0:
             c_p = -Rp.T @ tp
             c_l = -Rl.T @ tl
@@ -1296,7 +1359,8 @@ class Tracker:
         # seed) — see TrackingParams.pose_prior_eps
         lf = self.last_frame
         use_prior = (lf is not None and lf is not frame and lf.tracked
-                     and lf.R is not None and self.p.pose_prior_eps > 0.0)
+                     and lf.R is not None and self.p.pose_prior_eps > 0.0
+                     and self._last_track_healthy())
         if use_prior:
             pR, pt = lf.R, lf.t
             eps = self.p.pose_prior_eps
@@ -1475,6 +1539,7 @@ class Tracker:
                 return None
             self.ref_kf = int(vk[-1])
         self._predict_pose(frame)
+        self._check_replaced_in_last_frame()
         last_mps = lf.feat_mp[lf.feat_mp >= 0]
         ids_last = np.unique(last_mps)
         ids_last = ids_last[m.mp_valid[ids_last]]
@@ -1496,7 +1561,8 @@ class Tracker:
         ids_packed[cap_l: cap_l + len(loc_ids)] = loc_ids
 
         use_prior = (lf.tracked and lf.R is not None
-                     and p.pose_prior_eps > 0.0)
+                     and p.pose_prior_eps > 0.0
+                     and self._last_track_healthy())
         pR, pt = (lf.R, lf.t) if use_prior else (frame.R, frame.t)
         eps = p.pose_prior_eps if use_prior else 0.0
         pose_in = np.empty(25, np.float32)
@@ -1553,6 +1619,10 @@ class Tracker:
         n1 = int(out[12])
         inl = int(out[13])
         min_inl = self._min_local_inliers()
+        import os as _os
+        if _os.environ.get("DBG_TRACK_VERBOSE"):
+            print(f"    [fused] f{frame.frame_id} n1={n1} inl={inl} "
+                  f"min={min_inl} nc={nc} ref_kf={self.ref_kf}", flush=True)
         if n1 < p.min_motion_matches or inl < min_inl:
             return False
         if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
@@ -1588,13 +1658,23 @@ class Tracker:
     def _min_local_inliers(self) -> int:
         """Reference TrackLocalMap acceptance (src/Tracking.cc:3421-3454):
         50 right after a relocalization, 15 with an initialized IMU, else the
-        visual threshold (30)."""
+        visual threshold (30) — PLUS an adaptive floor at 20% of the running
+        inlier average. A divergence that settles into an aliased-match
+        equilibrium (measured: a pitch runaway at the walk's phase wrap kept
+        ~70 'inliers' while 550 were available) passes any absolute gate;
+        relative collapse is the reliable failure signal, and declaring the
+        frame lost hands recovery to relocalization, which re-acquires from
+        descriptors instead of a poisoned projection window."""
         if self.frames_since_reloc is not None and \
                 0 <= self.n_frames - 1 - self._last_reloc_frame_id < self.p.max_frames_between_kf:
             return max(self.p.min_local_inliers, 50)
         if self.imu_initialized:
             return 15
-        return self.p.min_local_inliers
+        base = self.p.min_local_inliers
+        ema = self.inlier_ema
+        if ema is not None and ema > 3.0 * base:
+            return max(base, int(0.2 * ema))
+        return base
 
     def _track_with_prediction(self, frame: Frame) -> bool:
         """Track against last-frame points from an already-set predicted pose

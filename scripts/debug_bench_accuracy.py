@@ -70,6 +70,72 @@ def main(n_frames=120, pipeline=True, kf_int=None, redundancy=0.9):
             faulthandler.dump_traceback()
         tf0 = time.perf_counter()
         info = slam.track_monocular(imgs[i], ts=float(i) / 20.0)
+        if os.environ.get("DBG_COVERAGE") and i >= int(os.environ["DBG_COVERAGE"]):
+            tr = slam.tracker
+            tr.flush_pending()
+            lf = tr.last_frame
+            m = slam.map
+            if lf is not None and lf.R is not None and os.environ.get(
+                    "DBG_COVERAGE_GT"):
+                # project through the GT pose mapped into the map frame via
+                # the healthy-prefix similarity (est <- gt)
+                from orbslam3_tpu.utils.evaluation import horn_align
+                ts_, R_wc_, t_wc_, lost_ = slam.export_trajectory()
+                sel_ = ~lost_ & (ts_ < 12.0)
+                gi_ = np.rint(ts_[sel_] * 20.0).astype(int)
+                R_al, t_al, s_al = horn_align(gt[gi_], t_wc_[sel_],
+                                              with_scale=True)
+                R_gt_cw, t_gt_cw = poses[i]
+                R_use = (R_gt_cw @ R_al.T).astype(np.float32)
+                # xc_meters = R_gt·R_alᵀ·(x_map − t_al)/s + t_gt
+                ids = m.valid_mp_ids()
+                xc = ((m.mp_xyz[ids] - t_al) @ R_use.T) / s_al + t_gt_cw
+                c_map = s_al * (R_al @ (-R_gt_cw.T @ t_gt_cw)) + t_al
+            else:
+                ids = m.valid_mp_ids()
+                xc = m.mp_xyz[ids] @ lf.R.T + lf.t
+                c_map = -lf.R.T @ lf.t
+            z = xc[:, 2]
+            fx, fy, cx, cy = scene.K
+            u = fx * xc[:, 0] / np.maximum(z, 1e-6) + cx
+            v = fy * xc[:, 1] / np.maximum(z, 1e-6) + cy
+            infr = (z > 0.1) & (u > 0) & (u < scene.w) & (v > 0) & (v < scene.h)
+            dist = np.linalg.norm(m.mp_xyz[ids] - c_map, axis=1)
+            band = (dist >= m.mp_min_dist[ids]) & (dist <= m.mp_max_dist[ids])
+            # nearest valid feature within 3px
+            fxy = lf.xy[lf.valid]
+            fdesc = lf.desc[lf.valid]
+            sel = np.nonzero(infr)[0]
+            n_geom = n_desc = 0
+            pd = np.unpackbits(m.mp_desc[ids].view(np.uint8), axis=1)
+            fd = np.unpackbits(fdesc.view(np.uint8), axis=1)
+            for s_ in sel:
+                d2 = np.abs(fxy[:, 0] - u[s_]) + np.abs(fxy[:, 1] - v[s_])
+                near = np.nonzero(d2 < 6.0)[0]
+                if len(near) == 0:
+                    continue
+                n_geom += 1
+                hd = (pd[s_][None, :] != fd[near]).sum(1)
+                if hd.min() <= 60:
+                    n_desc += 1
+            c_est = -lf.R.T @ lf.t
+            dc = float(np.linalg.norm(c_est - c_map))
+            dR = lf.R @ (poses[i][0] @ (R_al.T if os.environ.get(
+                "DBG_COVERAGE_GT") else np.eye(3))).T
+            ang = float(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+            # yaw/pitch/roll of est vs gt world-to-cam
+            def ypr(Rm):
+                return (np.degrees(np.arctan2(-Rm[2, 0], Rm[2, 2])),
+                        np.degrees(np.arcsin(np.clip(Rm[2, 1], -1, 1))),
+                        np.degrees(np.arctan2(-Rm[0, 1], Rm[1, 1])))
+            ye, pe, re_ = ypr(lf.R)
+            yg, pg, rg = ypr(poses[i][0])
+            print(f"  cov f{i}: frustum={int(infr.sum())} "
+                  f"band={int((infr & band).sum())} geom3px={n_geom} "
+                  f"desc={n_desc} tracked={lf.n_matched()} "
+                  f"dc={dc:.4f} ang={np.degrees(ang):.2f}deg "
+                  f"ypr_est=({ye:.1f},{pe:.1f},{re_:.1f}) "
+                  f"ypr_gt=({yg:.1f},{pg:.1f},{rg:.1f})", flush=True)
         if ev_from is not None and i >= ev_from:
             tr = slam.tracker
             tr.flush_pending()
