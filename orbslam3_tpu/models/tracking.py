@@ -1029,7 +1029,10 @@ class Tracker:
         lf = self.last_frame
         if lf is None or not lf.tracked:
             return False
-        return lf.n_matched() >= max(20, int(0.1 * self.orb_cfg.total_capacity))
+        # 6% of the feature budget: the walk-revisit frozen state sits at
+        # ~5% while ordinary low-overlap phases (VI fixtures dip to ~10%)
+        # must keep the protections on
+        return lf.n_matched() >= max(20, int(0.06 * self.orb_cfg.total_capacity))
 
     def _check_replaced_in_last_frame(self):
         """Forward fused-away map-point ids in the last frame to their
@@ -1077,6 +1080,7 @@ class Tracker:
         # scale refinement) can remap the in-flight pose too (try_imu_init)
         self.current_frame = frame
         self._check_replaced_in_last_frame()
+        self._n1_last = None    # motion-model evidence for this frame
         ok = False
         if allow_fused and self._can_fuse_track():
             with self.timer.stage("3f.fused_track"):
@@ -1111,6 +1115,10 @@ class Tracker:
         if ok and not getattr(frame, "_fused_done", False):
             with self.timer.stage("3b.track_local_map"):
                 ok = self._track_local_map(frame)
+            if (ok and self._n1_last is not None
+                    and self._n1_last < max(10, 0.1 * self.n_local_inliers)):
+                # aliasing-divergence signature (see _fused_consume)
+                ok = False
 
         self._post_track(frame, ok)
         return ok
@@ -1426,14 +1434,19 @@ class Tracker:
             # ONE packed int32 result (poses/vel/H_marg bitcast + n_inliers +
             # packbits(inlier)) — one device→host pull instead of five
             # (each pull pays the remote-TPU round trip)
+            sig_gw, sig_aw = float(self.imu_noise[2]), float(self.imu_noise[3])
+
             def _packed(*a, **kw):
                 res = vi_ops.pose_inertial_optimize(
-                    *a, cam_type=self.cam_type, **kw)
+                    *a, cam_type=self.cam_type,
+                    sigma_gw=sig_gw, sigma_aw=sig_aw, **kw)
                 from . import kernels as _k
                 return jnp.concatenate([
                     _k._bitcast_f2i(res.R.reshape(-1)),
                     _k._bitcast_f2i(res.t),
                     _k._bitcast_f2i(res.v),
+                    _k._bitcast_f2i(res.bg),
+                    _k._bitcast_f2i(res.ba),
                     _k._bitcast_f2i(res.H_marg.reshape(-1)),
                     res.n_inliers.astype(jnp.int32)[None],
                     _k._pack_bits_i32(res.inlier),
@@ -1467,16 +1480,25 @@ class Tracker:
         frame.R = Rn
         frame.t = tn
         self.velocity_w = out[12:15].view(np.float32).copy()
+        bgn = out[15:18].view(np.float32)
+        ban = out[18:21].view(np.float32)
+        if np.isfinite(bgn).all() and np.isfinite(ban).all():
+            # frame-rate bias tracking through the RW chain + marginal prior
+            # (reference keeps the optimized frame bias, src/Tracking.cc)
+            self.imu_bias_g = bgn.astype(np.float32).copy()
+            self.imu_bias_a = ban.astype(np.float32).copy()
         # carry the marginalized information to the next frame (reference
-        # builds mpcpi = new ConstraintPoseImu from the marginal Hessian)
-        Hm = out[15:96].view(np.float32).reshape(9, 9)
-        if np.isfinite(Hm).all():
+        # builds mpcpi = new ConstraintPoseImu from the 15×15 marginal
+        # Hessian, include/G2oTypes.h:711)
+        import os as _os
+        Hm = out[21:246].view(np.float32).reshape(15, 15)
+        if np.isfinite(Hm).all() and not _os.environ.get("DBG_NO_VIPRIOR"):
             self.pose_prior_H = Hm.astype(np.float32)
         else:
             self.pose_prior_H = None
-        n_inl = int(out[96])
+        n_inl = int(out[246])
         N = len(frame.feat_mp)
-        inl = kernels.unpack_bits_host(out[97: 97 + (N + 31) // 32], N)
+        inl = kernels.unpack_bits_host(out[247: 247 + (N + 31) // 32], N)
         frame.feat_mp[matched & ~inl] = -1
         return n_inl
 
@@ -1625,6 +1647,13 @@ class Tracker:
                   f"min={min_inl} nc={nc} ref_kf={self.ref_kf}", flush=True)
         if n1 < p.min_motion_matches or inl < min_inl:
             return False
+        if n1 < max(10, 0.1 * inl):
+            # aliasing-divergence signature: the frame barely re-finds the
+            # LAST frame's own points (tight-window, same-view matching is
+            # alias-resistant) while the wide local-map search still reports
+            # "inliers" — the walk-revisit frozen state ran for 20+ frames
+            # at n1 ~2 / inl ~70. Treat as failure; reloc re-acquires.
+            return False
         if not (np.isfinite(Rn).all() and np.isfinite(tn).all()):
             return False
         frame.R = Rn
@@ -1712,6 +1741,7 @@ class Tracker:
         if n < p.min_motion_matches:
             return False
         inl = self._optimize_frame_pose(frame)
+        self._n1_last = inl
         return inl >= p.min_motion_inliers
 
     def _track_reference_kf(self, frame: Frame) -> bool:

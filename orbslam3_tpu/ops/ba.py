@@ -225,12 +225,15 @@ def _gn_step_from_lin(p: BAProblem, pts, R, t, lin, lam):
 
     cho = jax.scipy.linalg.cho_factor(Sm)
     dx0 = jax.scipy.linalg.cho_solve(cho, bs_flat)
-    # one iterative-refinement pass: the f32 Cholesky solve carries ~1e-3
-    # relative error at the conditioning of dense-covisibility problems
-    # (cond ~1e12 at 256 KFs); the residual re-solve cuts it ~1e3x for one
-    # extra matvec + triangular solve
-    dx1 = dx0 + jax.scipy.linalg.cho_solve(cho, bs_flat - Sm @ dx0)
-    dx = dx1.reshape(K, 6)
+    if K >= 64:
+        # one iterative-refinement pass: the f32 Cholesky solve carries
+        # ~1e-3 relative error at the conditioning of dense-covisibility
+        # problems (cond ~1e12 at 256 KFs); the residual re-solve cuts it
+        # ~1e3x for one extra matvec + triangular solve. Small local-BA
+        # windows don't need it (cond ~1e6) and the extra f32 matvec noise
+        # measurably perturbs their steps — large-K only.
+        dx0 = dx0 + jax.scipy.linalg.cho_solve(cho, bs_flat - Sm @ dx0)
+    dx = dx0.reshape(K, 6)
     # landmark back-substitution
     dl = jnp.einsum("pij,pj->pi", Hll_inv, bl - jnp.einsum("pkim,ki->pm", B, dx))
 
@@ -270,8 +273,12 @@ def ba_iterate(
         # near-equal totals: near convergence the improvement is far below
         # the f32 ulp of the total (~0.016 at a 1e5 cost), so total-vs-total
         # comparison becomes a coin flip and the solution random-walks;
-        # differencing first cancels the common magnitude exactly
-        good = jnp.sum(cost_en - cost_e) < 0.0
+        # differencing first cancels the common magnitude exactly. The
+        # relative-improvement floor (LM function tolerance) stops noise-
+        # level churn: without it the solver keeps accepting ~1e-7-relative
+        # "improvements" that overfit visual noise along weak directions.
+        good = (jnp.sum(cost_en - cost_e)
+                < -1e-6 * jnp.maximum(jnp.sum(cost_e), 1.0))
         sel = lambda a, b: jnp.where(good, a, b)
         R = sel(Rn, R)
         t = sel(tn, t)

@@ -151,8 +151,10 @@ class PoseInertialResult(NamedTuple):
     v: jax.Array
     inlier: jax.Array
     n_inliers: jax.Array
-    H_marg: jax.Array = None      # (9,9) marginal information on (pose,vel)
-    prev_moved: jax.Array = None  # (9,) increment applied to the prev state
+    H_marg: jax.Array = None      # (15,15) marginal info on (pose,vel,bias)
+    prev_moved: jax.Array = None  # (15,) increment applied to the prev state
+    bg: jax.Array = None          # (3,) current gyro bias
+    ba: jax.Array = None          # (3,) current accel bias
 
 
 def pose_inertial_optimize(
@@ -160,21 +162,25 @@ def pose_inertial_optimize(
     bg, ba, dT, dR, dV, dP, JRg, JVg, JVa, JPg, JPa, pre_cov,
     pts_w, obs_uv, obs_inv_sigma2, obs_valid, cam_params,
     cam_type: int = 0, iters: int = 12, chi2_th: float = 5.991,
-    prior_H=None,
+    prior_H=None, sigma_gw: float = 1e-5, sigma_aw: float = 1e-4,
 ) -> PoseInertialResult:
     """Frame-rate visual-inertial pose optimization (reference
     PoseInertialOptimizationLastFrame src/Optimizer.cc:7785: current frame
-    pose+velocity against the previous state through a preintegration edge +
-    visual mono edges; 4×10 schedule with annealed chi2 gates
-    {12, 7.5, 5.991, 5.991}). Biases stay at the tracker's estimates (the
-    reference's bias random-walk edges barely move them at frame rate).
+    pose+velocity+BIASES against the previous 15-dim state through a
+    preintegration edge + bias random-walk edges + visual mono edges; 4×10
+    schedule with annealed chi2 gates {12, 7.5, 5.991, 5.991}).
 
-    The previous state (body pose R1_wb (3,3), p1_wb, v1) enters as a
-    VARIABLE held by the marginal prior ``prior_H`` (9x9 information on its
-    [δθ, δp, δv]) — the reference's ConstraintPoseImu carried between frames
-    (src/Optimizer.cc:4956-5070 Marginalize, :7785 edge). With prior_H=None
-    the previous state is fixed (the round-1 approximation, equivalent to an
-    infinite prior). The returned ``H_marg`` is the CURRENT state's marginal
+    The previous body state (R1_wb (3,3), p1_wb, v1, biases at the passed
+    bg/ba) enters as a VARIABLE held by the marginal prior ``prior_H``
+    ((15,15) information on its [δθ, δp, δv, δbg, δba]) — the reference's
+    ConstraintPoseImu carried between frames (src/Optimizer.cc:4956-5070
+    Marginalize, include/G2oTypes.h:711: a 15-dim block, not 9). The
+    preintegration edge is evaluated at the PREVIOUS frame's bias (its
+    integration reference, reference EdgeInertial uses frame-1 bias
+    vertices) via the first-order bias Jacobians; EdgeGyroRW/EdgeAccRW tie
+    the two frames' biases with information 1/(dT·σ_walk²)
+    (src/Optimizer.cc:7900-7928). With prior_H=None the previous state is
+    fixed. The returned ``H_marg`` is the CURRENT state's 15×15 marginal
     information after Schur-eliminating the previous state — the next
     frame's prior.
     """
@@ -186,28 +192,38 @@ def pose_inertial_optimize(
     Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(9, dtype=dtype),
                                              lower=True)
     g = jnp.asarray([0.0, 0.0, -imu_ops.GRAVITY], dtype)
-    dbg = jnp.zeros(3, dtype)   # biases fixed: corrected deltas precomputed
-    dR_c = dR
-    dV_c = dV
-    dP_c = dP
 
     use_prior = prior_H is not None
-    n_state = 18 if use_prior else 9
+    # current [δpose(6), v(3), bg(3), ba(3)] (+ prev [δθ,δp,δv,δbg,δba])
+    n_state = 30 if use_prior else 15
+    # bias deltas are parametrized in units of the per-frame walk std
+    # (sb = σ_walk·sqrt(dT)): the whitened RW residual becomes an O(1)
+    # difference of parameters, and the marginal Hessian stays within f32
+    # range — physical-unit bias columns carry ~1/(dT σ_w²) ≈ 1e12
+    # information at EuRoC walk sigmas, which poisons the f32 prior
+    # Cholesky. H_marg is carried between frames in these scaled
+    # coordinates (frame dT is the steady camera period).
+    sb_g = sigma_gw * jnp.sqrt(jnp.maximum(dT, 1e-3))
+    sb_a = sigma_aw * jnp.sqrt(jnp.maximum(dT, 1e-3))
 
     def unpack(p):
         dRp, dtp = lie.se3_exp(p[:6])
         R, t = lie.se3_compose(dRp, dtp, R0, t0)
+        bg2 = bg + sb_g * p[9:12]
+        ba2 = ba + sb_a * p[12:15]
         if use_prior:
             # previous BODY state perturbed on its tangent: R1' = R1 Exp(δθ)
-            R1n = R1_wb @ lie.so3_exp(p[9:12])
-            p1n = p1_wb + p[12:15]
-            v1n = v1 + p[15:18]
+            R1n = R1_wb @ lie.so3_exp(p[15:18])
+            p1n = p1_wb + p[18:21]
+            v1n = v1 + p[21:24]
+            bg1 = bg + sb_g * p[24:27]
+            ba1 = ba + sb_a * p[27:30]
         else:
-            R1n, p1n, v1n = R1_wb, p1_wb, v1
-        return R, t, p[6:9], R1n, p1n, v1n
+            R1n, p1n, v1n, bg1, ba1 = R1_wb, p1_wb, v1, bg, ba
+        return R, t, p[6:9], bg2, ba2, R1n, p1n, v1n, bg1, ba1
 
     def residuals(p, w_in):
-        R, t, v, R1n, p1n, v1n = unpack(p)
+        R, t, v, bg2, ba2, R1n, p1n, v1n, bg1, ba1 = unpack(p)
         xc = jnp.einsum("ij,oj->oi", R, pts_w) + t
         pos = xc[..., 2] > 1e-3
         xc = jnp.concatenate([xc[..., :2],
@@ -219,7 +235,14 @@ def pose_inertial_optimize(
                                  huber / jnp.sqrt(chi + 1e-12), 1.0))
         rv = rv * (w_h * w_in * obs_valid.astype(dtype)
                    * pos.astype(dtype))[:, None]
-        # inertial edge to the previous state
+        # inertial edge to the previous state, at the PREVIOUS frame's bias
+        # (first-order corrected deltas; the passed dR/dV/dP are referenced
+        # at the input bg/ba)
+        dbg1 = bg1 - bg
+        dba1 = ba1 - ba
+        dR_c = dR @ lie.so3_exp(JRg @ dbg1)
+        dV_c = dV + JVg @ dbg1 + JVa @ dba1
+        dP_c = dP + JPg @ dbg1 + JPa @ dba1
         R_wb = R.T
         p_wb = -R.T @ t
         tt = dT
@@ -227,17 +250,23 @@ def pose_inertial_optimize(
         ev = R1n.T @ (v - v1n - g * tt) - dV_c
         ep = R1n.T @ (p_wb - p1n - v1n * tt - 0.5 * g * tt * tt) - dP_c
         ri = Linv @ jnp.concatenate([er, ev, ep])
-        out = [rv.reshape(-1), ri]
+        # bias random walk between the two frames (EdgeGyroRW/EdgeAccRW);
+        # exactly whitened in the scaled parametrization
+        if use_prior:
+            r_rw = jnp.concatenate([p[9:12] - p[24:27], p[12:15] - p[27:30]])
+        else:
+            r_rw = jnp.concatenate([p[9:12], p[12:15]])
+        out = [rv.reshape(-1), ri, r_rw]
         if use_prior:
             # ConstraintPoseImu: whitened prior residual on the previous
             # state's deviation from its marginal estimate
             Lp = jnp.linalg.cholesky(
-                prior_H + 1e-6 * jnp.eye(9, dtype=dtype))
-            out.append(Lp.T @ p[9:18])
+                prior_H + 1e-6 * jnp.eye(15, dtype=dtype))
+            out.append(Lp.T @ p[15:30])
         return jnp.concatenate(out)
 
     def chi2_of(p):
-        R, t, v, _, _, _ = unpack(p)
+        R, t = unpack(p)[:2]
         xc = jnp.einsum("ij,oj->oi", R, pts_w) + t
         pos = xc[..., 2] > 1e-3
         xc = jnp.concatenate([xc[..., :2],
@@ -276,26 +305,26 @@ def pose_inertial_optimize(
 
     p, inlier = jax.lax.fori_loop(0, 4, round_body, (p, inlier))
     inlier = inlier & obs_valid
-    R, t, v, _, _, _ = unpack(p)
-    # marginal information of the CURRENT state (pose+vel): Schur-eliminate
-    # the previous state from the final Hessian (reference Marginalize,
-    # src/Optimizer.cc:4956-5070)
+    R, t, v, bg2, ba2 = unpack(p)[:5]
+    # marginal information of the CURRENT 15-dim state: Schur-eliminate the
+    # previous state from the final Hessian (reference Marginalize,
+    # src/Optimizer.cc:4956-5070; the block is 15×15, include/G2oTypes.h:711)
     w_fin = (inlier & obs_valid).astype(dtype)
     Jf = jax.jacfwd(lambda q: residuals(q, w_fin))(p)
     Hf = Jf.T @ Jf
     if use_prior:
-        Hcc = Hf[:9, :9]
-        Hcp = Hf[:9, 9:]
-        Hpp = Hf[9:, 9:] + 1e-6 * jnp.eye(9, dtype=dtype)
+        Hcc = Hf[:15, :15]
+        Hcp = Hf[:15, 15:]
+        Hpp = Hf[15:, 15:] + 1e-6 * jnp.eye(15, dtype=dtype)
         H_marg = Hcc - Hcp @ jnp.linalg.solve(Hpp, Hcp.T)
-        prev_moved = p[9:18]
+        prev_moved = p[15:30]
     else:
-        H_marg = Hf[:9, :9]
-        prev_moved = jnp.zeros(9, dtype)
+        H_marg = Hf[:15, :15]
+        prev_moved = jnp.zeros(15, dtype)
     return PoseInertialResult(
         R=R, t=t, v=v, inlier=inlier,
         n_inliers=jnp.sum(inlier.astype(jnp.int32)),
-        H_marg=H_marg, prev_moved=prev_moved)
+        H_marg=H_marg, prev_moved=prev_moved, bg=bg2, ba=ba2)
 
 
 class VIJointResult(NamedTuple):

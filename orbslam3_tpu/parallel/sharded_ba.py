@@ -254,10 +254,13 @@ def make_sharded_ba_solver(mesh: Mesh, n_kf: int,
                 # accept on the psum of per-observation cost DIFFERENCES
                 # (cancellation-free — see ops/ba.py:ba_iterate); identical
                 # psum results on every device keep control flow replicated
+                elems_old = robust_cost_elems(R, t, pts_sh, w)
                 dcost = jax.lax.psum(
                     jnp.sum(robust_cost_elems(Rn, tn, ptsn, w)
-                            - robust_cost_elems(R, t, pts_sh, w)), axis)
-                good = dcost < 0.0
+                            - elems_old), axis)
+                tot = jax.lax.psum(jnp.sum(elems_old), axis)
+                # relative-improvement floor — see ops/ba.py:ba_iterate
+                good = dcost < -1e-6 * jnp.maximum(tot, 1.0)
                 R = jnp.where(good, Rn, R)
                 t = jnp.where(good, tn, t)
                 pts_sh = jnp.where(good, ptsn, pts_sh)

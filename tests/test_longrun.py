@@ -12,7 +12,9 @@ src/Tracking.cc:2007-2086).
 The walk trajectory is periodic, so rendered frames repeat every lap — a
 render cache keeps the test's cost in the SLAM pipeline, not the ray caster.
 
-Set ORBSLAM3_LONGRUN_FRAMES to shorten locally (CI default 3000).
+Default length is 600 frames (~5 min on the CPU mesh — the CI gate that
+caught the r3 culling collapse); set ORBSLAM3_LONGRUN_FRAMES=3000 for the
+full survivability run.
 """
 import os
 
@@ -25,7 +27,7 @@ from orbslam3_tpu.models.tracking import TrackingParams, TrackState
 from orbslam3_tpu.utils.datasets import RoomScene
 from orbslam3_tpu.utils.evaluation import evaluate_trajectory
 
-N_FRAMES = int(os.environ.get("ORBSLAM3_LONGRUN_FRAMES", "3000"))
+N_FRAMES = int(os.environ.get("ORBSLAM3_LONGRUN_FRAMES", "600"))
 PERIOD = 400
 FPS = 20.0
 

@@ -150,3 +150,86 @@ def test_vi_joint_ba_recovers_states_and_landmarks():
     assert np.abs(np.asarray(res.bg) - bg_gt).max() < 3e-3, res.bg
     assert np.abs(np.asarray(res.ba) - ba_gt).max() < 0.03, res.ba
     assert int(res.obs_inlier.sum()) > 0.95 * O
+
+
+def test_pose_inertial_15dim_marginal_prior_tracks_bias():
+    """Frame-rate VI optimization with the 15-dim ConstraintPoseImu chain
+    (reference include/G2oTypes.h:711, Optimizer.cc:4956-5070): pose+vel+
+    biases are jointly marginalized frame to frame with bias random-walk
+    edges. Driving several frames with a WRONG initial bias must recover
+    toward the true bias through the chain — the r3 9-dim prior had no bias
+    linkage at frame rate, so the error could never shrink."""
+    from orbslam3_tpu.ops import imu as imu_ops
+
+    bg_true = (0.02, -0.015, 0.01)
+    ba_true = (0.12, -0.08, 0.1)
+    R_map, p_map, preints, Rwg_gt, scale, bg_gt, ba_gt, v_gt = simulate(
+        n_kf=8, kf_dt=0.05, scale=1.0, g_tilt=(0.0, 0.0), seed=11,
+        bg=bg_true, ba=ba_true)
+    Kn = len(R_map)
+    R_cw = np.stack([R.T for R in R_map]).astype(np.float32)
+    t_cw = np.stack([-R.T @ p for R, p in zip(R_map, p_map)]).astype(np.float32)
+
+    rng = np.random.default_rng(2)
+    n_pts = 200
+    pts = np.stack([rng.uniform(-4, 4, n_pts), rng.uniform(-3, 3, n_pts),
+                    rng.uniform(5, 15, n_pts)], -1).astype(np.float32)
+
+    # start with a WRONG bias estimate (zero); the truth is bg_true/ba_true
+    bg_est = np.zeros(3, np.float32)
+    ba_est = np.zeros(3, np.float32)
+    prior_H = None
+    e_bg0 = np.linalg.norm(bg_est - bg_gt)
+    e_ba0 = np.linalg.norm(ba_est - ba_gt)
+
+    v_est = v_gt[0].astype(np.float32)
+    R_prev, p_prev = R_map[0].astype(np.float32), p_map[0].astype(np.float32)
+    for k in range(1, Kn):
+        pre = preints[k - 1]
+        dR_c, dV_c, dP_c = imu_ops.corrected_delta(
+            pre, jnp.asarray(bg_est), jnp.asarray(ba_est))
+        pc = pts @ R_cw[k].T + t_cw[k]
+        uv = np.stack([458 * pc[:, 0] / pc[:, 2] + 376,
+                       458 * pc[:, 1] / pc[:, 2] + 240], -1)
+        uv += rng.normal(0, 0.4, uv.shape)
+        # seed the current pose from a perturbed GT (motion-model-quality)
+        dRp = np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(0, 0.005, 3).astype(np.float32))))
+        R0 = (dRp @ R_cw[k]).astype(np.float32)
+        t0 = t_cw[k] + rng.normal(0, 0.01, 3).astype(np.float32)
+        res = vi_ba.pose_inertial_optimize(
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(v_est + rng.normal(0, 0.05, 3).astype(np.float32)),
+            jnp.asarray(R_prev), jnp.asarray(p_prev), jnp.asarray(v_est),
+            jnp.asarray(bg_est), jnp.asarray(ba_est),
+            pre.dT, dR_c, dV_c, dP_c,
+            pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa,
+            jnp.asarray(np.asarray(pre.C)[:9, :9]),
+            jnp.asarray(pts), jnp.asarray(uv.astype(np.float32)),
+            jnp.ones(n_pts, jnp.float32), jnp.ones(n_pts, bool),
+            jnp.asarray(K_CAM),
+            # loose random-walk sigmas so the bias correction is visible
+            # within an 8-frame test window: at the real EuRoC walk sigmas
+            # (1e-5/sqrt(s)) the RW information is ~2e12 and frame-rate bias
+            # motion is ~1e-8/frame BY DESIGN (the reference behaves the
+            # same; biases converge through keyframe-rate inertial BA).
+            sigma_gw=3e-2, sigma_aw=0.3,
+            prior_H=None if prior_H is None else jnp.asarray(prior_H))
+        assert np.asarray(res.H_marg).shape == (15, 15)
+        Rn = np.asarray(res.R)
+        bg_est = np.asarray(res.bg).astype(np.float32)
+        ba_est = np.asarray(res.ba).astype(np.float32)
+        v_est = np.asarray(res.v).astype(np.float32)
+        prior_H = np.asarray(res.H_marg)
+        R_prev = Rn.T.astype(np.float32)
+        p_prev = (-Rn.T @ np.asarray(res.t)).astype(np.float32)
+        # pose stays locked through the chain
+        assert np.abs(np.asarray(res.t) - t_cw[k]).max() < 0.05
+
+    # gyro bias is strongly observable through the rotation chain; accel
+    # through gravity/velocity coupling (weaker over this short window)
+    e_bg = np.linalg.norm(bg_est - bg_gt)
+    e_ba = np.linalg.norm(ba_est - ba_gt)
+    assert e_bg < 0.35 * e_bg0, (e_bg, e_bg0)
+    assert e_ba < 1.05 * e_ba0, (e_ba, e_ba0)   # accel: weakly observable
+    # over this short window — must not diverge
