@@ -177,7 +177,8 @@ def bench_system_e2e(n_frames: int = 300, warmup: int = 30):
             | {"ate_m": ate, "n_lost": n_lost,
                "mapper_drain_s": round(t_drain, 2),
                "mapper_drained": bool(drained),
-               "track_wall_s": round(t_track, 2)},
+               "track_wall_s": round(t_track, 2),
+               "paths": dict(slam.tracker.path_counts)},
             {k: round(v.get("median_ms", v["mean_ms"]), 2)
              for k, v in st.get("stage_times", {}).items()})
 

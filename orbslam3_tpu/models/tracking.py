@@ -213,6 +213,9 @@ class Tracker:
         # running inlier average for the adaptive collapse gate
         # (_min_local_inliers); None until tracking stabilizes
         self.inlier_ema: float | None = None
+        # per-path frame counters (performance diagnosis; reported by bench)
+        self.path_counts = {"fused": 0, "fused_retry": 0, "staged": 0,
+                            "reloc_frames": 0}
         # Atlas hooks (set by the system): called when tracking stays lost
         # (reference CreateMapInAtlas src/Tracking.cc:2914) and for cross-map
         # relocalization that triggers a map merge
@@ -649,6 +652,8 @@ class Tracker:
             self.current_frame = frame
             with self.timer.stage("3g.fused_consume"):
                 ok = self._fused_consume(pend)
+            if ok:
+                self.path_counts["fused"] += 1
             if not ok and self._can_fuse_track():
                 # stale-candidate miss (deep pipelines dispatch with lagged
                 # candidate sets): one synchronous fused retry with CURRENT
@@ -656,10 +661,13 @@ class Tracker:
                 frame.feat_mp[:] = -1
                 with self.timer.stage("3g.fused_retry"):
                     ok = self._track_fused(frame)
+                if ok:
+                    self.path_counts["fused_retry"] += 1
             if ok:
                 self._post_track(frame, True)
             else:
                 frame.feat_mp[:] = -1
+                self.path_counts["staged"] += 1
                 ok = self._track(frame, allow_fused=False)
             self._log_trajectory(frame, tracked=ok)
             self.last_frame = frame
