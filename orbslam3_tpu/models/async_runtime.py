@@ -256,11 +256,19 @@ class BackgroundGBA:
             tr = self.system.tracker
             if getattr(tr, "imu_initialized", False):
                 # inertial map: FullInertialBA(7), not visual GBA (reference
-                # RunGlobalBundleAdjustment, src/LoopClosing.cc:2591-2601)
+                # RunGlobalBundleAdjustment, src/LoopClosing.cc:2591-2601).
+                # The solve is one device dispatch, so the abort flag
+                # (reference pbStopFlag, src/LoopClosing.cc:2601) is polled
+                # between iteration chunks and before write-back — a pending
+                # loop correction is never blocked behind the full solve.
                 ids = self.map.valid_kf_ids()
                 if len(ids):
-                    self.system.mapper.full_inertial_ba(
-                        int(ids[-1]), iters=7, prior_g=0.0, prior_a=0.0)
+                    for _ in range(2):
+                        if self._abort.is_set():
+                            break
+                        self.system.mapper.full_inertial_ba(
+                            int(ids[-1]), iters=4, prior_g=0.0, prior_a=0.0,
+                            abort_check=self._abort.is_set)
             else:
                 self.system.mapper.global_ba(
                     iters=(4, self.iters), abort_check=self._abort.is_set,

@@ -964,21 +964,29 @@ class LocalMapper:
                            fix_vel_bias_of_fixed=True)
 
     def full_inertial_ba(self, kf_id: int, iters: int = 12,
-                         prior_g: float = 1e2, prior_a: float = 1e5):
+                         prior_g: float = 1e2, prior_a: float = 1e5,
+                         abort_check=None):
         """Whole-map joint inertial BA (reference FullInertialBA
         src/Optimizer.cc:495 — 100 iterations at IMU initialization,
         src/LocalMapping.cc:1720, and 7 at inertial loop-closure GBA,
         src/LoopClosing.cc:2601). Window = every valid keyframe; only the
-        first pose is fixed; bias priors follow the bInit path."""
+        first pose is fixed; bias priors follow the bInit path.
+
+        ``abort_check`` mirrors the reference's pbStopFlag (honored by
+        FullInertialBA, src/LoopClosing.cc:2601): checked before dispatch and
+        before write-back so a pending loop correction isn't blocked behind
+        the whole-map solve (advisor r4 medium)."""
         m = self.map
         n = len(m.valid_kf_ids())
         self._run_vi_joint(kf_id, window=n, iters=iters,
                            fix_vel_bias_of_fixed=False,
-                           prior_g=prior_g, prior_a=prior_a)
+                           prior_g=prior_g, prior_a=prior_a,
+                           abort_check=abort_check)
 
     def _run_vi_joint(self, kf_id: int, window: int, iters: int,
                       fix_vel_bias_of_fixed: bool,
-                      prior_g: float = 0.0, prior_a: float = 0.0):
+                      prior_g: float = 0.0, prior_a: float = 0.0,
+                      abort_check=None):
         from ..ops import vi_ba as vi_ops
         import functools
         import jax
@@ -998,6 +1006,8 @@ class LocalMapper:
                 vi_ops.vi_joint_ba, cam_type=self.cam_type, iters=iters,
                 prior_g=prior_g, prior_a=prior_a,
                 fix_vel_bias_of_fixed=fix_vel_bias_of_fixed))
+        if abort_check is not None and abort_check():
+            return
         res = self._vi_jit[key](**args)
         Rn = np.asarray(res.R)
         tn = np.asarray(res.t)
@@ -1007,6 +1017,10 @@ class LocalMapper:
         ptsn = np.asarray(res.pts)
         if not (np.isfinite(Rn).all() and np.isfinite(tn).all()
                 and np.isfinite(ptsn).all()):
+            return
+        if abort_check is not None and abort_check():
+            # aborted while the solve ran: skip write-back entirely so the
+            # loop correction sees a consistent (pre-GBA) map
             return
         fixed = np.asarray(args["fixed_pose"])
         with m.lock:

@@ -437,12 +437,18 @@ class LoopCloser:
         m = self.map
         for old, k2 in self.detect_merge_candidates(kf_id):
             with m.lock, old.lock:
+                # snapshot the compaction epoch the Sim3 is verified against:
+                # a pool compaction (or a tracker-side CreateMapInAtlas) between
+                # detection and execution would make kf_id index a remapped
+                # slot and produce a garbage alignment (advisor r4 medium)
+                epoch1 = m.remap_epoch
                 ok, S21 = self._verify_candidate(kf_id, k2, map1=m, map2=old)
             if not ok:
                 continue
             self.stats["merges_detected"] = (
                 self.stats.get("merges_detected", 0) + 1)
-            if self.merge_fn(kf_id, old, k2, S21):
+            if self.merge_fn(kf_id, old, k2, S21,
+                             cur_map=m, cur_epoch=epoch1):
                 return True
         return False
 
@@ -576,12 +582,17 @@ class LoopCloser:
             jnp.asarray(self.cam_params), fix_scale=self.fix_scale,
             min_inliers=self.n_bow_inliers, cam_type=self.cam_type)
         if not bool(res.success):
-            self.stats.setdefault("lc_vfail_log", []).append(
+            log = self.stats.setdefault("lc_vfail_log", [])
+            log.append(
                 ("ransac", int(kf1), int(kf2), float(m.kf_ts[kf1]),
                  float(m2.kf_ts[kf2]),
                  dict(has1=int(has1.sum()), has2=int(has2.sum()),
                       raw=int(okn.sum()), pairs=int(n),
                       inl=int(res.n_inliers))))
+            # bounded: the stats dict survives map rebinds, so an uncapped
+            # log grows for the whole run (advisor r4 low)
+            if len(log) > 32:
+                del log[:-32]
             return _fail("ransac")
         # OptimizeSim3 on the matched pairs (reference Optimizer.cc:3555)
         opt = sim3_ops.optimize_sim3(

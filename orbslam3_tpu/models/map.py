@@ -28,6 +28,7 @@ survives unbounded-length sequences in bounded memory.
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass, field, replace as dc_replace
 
 import numpy as np
@@ -41,11 +42,21 @@ def locked_current(holder):
     """Acquire the CURRENT map's lock of an object whose ``.map`` attribute may
     be rebound by another thread (Atlas merge / new-map spawn). Re-checks the
     binding after acquisition so the held lock always matches ``holder.map``
-    (the async analogue of the reference's per-map mMutexMapUpdate use)."""
+    (the async analogue of the reference's per-map mMutexMapUpdate use).
+
+    Lock-wait time is recorded to the attribution timeline when one is active
+    (tracker-blocked-on-mapper is a first-class latency suspect)."""
+    from ..utils import timing as _timing
+    t0 = time.perf_counter()
     while True:
         m = holder.map
         m.lock.acquire()
         if m is holder.map:
+            tl = _timing.GLOBAL_TIMELINE
+            if tl is not None:
+                t1 = time.perf_counter()
+                if t1 - t0 > 5e-4:
+                    tl.record("lock_wait", t0, t1)
             try:
                 yield m
             finally:

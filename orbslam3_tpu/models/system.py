@@ -82,6 +82,7 @@ class SlamSystem:
         self.tracker.on_tracking_lost = self._on_tracking_lost
         self.tracker.try_cross_map_reloc = self._try_cross_map_reloc
         self.frame_times: list[float] = []
+        self.frame_spans: list[tuple] = []   # (t0, t1) perf_counter, per frame
         # live viewer thread (reference bUseViewer, src/System.cc:157-161)
         self.viewer = None
         if use_viewer:
@@ -303,13 +304,23 @@ class SlamSystem:
                     return True
         return False
 
-    def _merge_with(self, kf_id: int, old, k2: int, S21) -> bool:
+    def _merge_with(self, kf_id: int, old, k2: int, S21,
+                    cur_map=None, cur_epoch=None) -> bool:
         """Execute an Atlas merge given a verified Sim3 between current-map
-        ``kf_id`` and stored-map ``k2`` (reference MergeLocal2 entry)."""
+        ``kf_id`` and stored-map ``k2`` (reference MergeLocal2 entry).
+
+        ``cur_map``/``cur_epoch`` identify the map (and its compaction epoch)
+        the Sim3 was verified against in the loop-closing thread; the merge is
+        aborted if the tracker has since spawned a new Atlas map or the pool
+        was compacted (kf_id would index a remapped slot — advisor r4)."""
         cur = self.atlas.current
-        if not cur.kf_valid[kf_id] or not old.kf_valid[k2]:
+        if cur_map is not None and cur_map is not cur:
             return False
         with cur.lock, old.lock:
+            if cur_epoch is not None and cur.remap_epoch != cur_epoch:
+                return False
+            if not cur.kf_valid[kf_id] or not old.kf_valid[k2]:
+                return False
             # S21: x_kf2 = s R x_kf1 + t (camera frames). World
             # alignment: W_old = T_kf2⁻¹ ∘ S21 ∘ T_kf1 (W_cur)
             s, R21, t21 = S21
@@ -410,7 +421,9 @@ class SlamSystem:
     def track_monocular(self, img: np.ndarray, ts: float) -> dict:
         t0 = time.perf_counter()
         info = self.tracker.process_frame(img, ts)
-        self.frame_times.append(time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        self.frame_times.append(t1 - t0)
+        self.frame_spans.append((t0, t1))
         return info
 
     def enable_imu(self, freq: float = 200.0, noise=(1.7e-4, 2e-3, 1e-5, 1e-4)):

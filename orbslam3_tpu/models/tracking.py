@@ -1476,8 +1476,22 @@ class Tracker:
             jnp.asarray(inv_s2, jnp.float32),
             jnp.asarray(matched & frame.valid), jnp.asarray(self.cam_params))
         if use_prior:
+            pH = self.pose_prior_H
+            # H_marg's bias blocks are expressed in walk-scaled units
+            # sb = σ_walk·sqrt(dT) of the frame they were built for; if the
+            # frame interval changed (dropped frames, recently-lost gaps) the
+            # carried information must be rescaled to the new units
+            # (information transforms as D·H·D with D = sb_new/sb_old on the
+            # bias coordinates; advisor r4 low)
+            dT_prev = getattr(self, "pose_prior_dT", None)
+            dT_now = max(float(pre.dT), 1e-3)
+            if dT_prev is not None and abs(dT_prev - dT_now) > 1e-6:
+                r = np.sqrt(dT_now / max(dT_prev, 1e-3))
+                d = np.ones(15, np.float32)
+                d[9:15] = r
+                pH = pH * d[:, None] * d[None, :]
             out = np.asarray(self._pi_jit[True](
-                *args, prior_H=jnp.asarray(self.pose_prior_H, jnp.float32)))
+                *args, prior_H=jnp.asarray(pH, jnp.float32)))
         else:
             out = np.asarray(self._pi_jit[False](*args))
         Rn = out[0:9].view(np.float32).reshape(3, 3).copy()
@@ -1502,6 +1516,7 @@ class Tracker:
         Hm = out[21:246].view(np.float32).reshape(15, 15)
         if np.isfinite(Hm).all() and not _os.environ.get("DBG_NO_VIPRIOR"):
             self.pose_prior_H = Hm.astype(np.float32)
+            self.pose_prior_dT = max(float(pre.dT), 1e-3)
         else:
             self.pose_prior_H = None
         n_inl = int(out[246])
@@ -1749,8 +1764,15 @@ class Tracker:
         if n < p.min_motion_matches:
             return False
         inl = self._optimize_frame_pose(frame)
-        self._n1_last = inl
-        return inl >= p.min_motion_inliers
+        ok = inl >= p.min_motion_inliers
+        # record motion-model evidence ONLY when this pose is the one the
+        # frame proceeds with — if this attempt fails and _track_reference_kf
+        # rescues the frame, the divergence gate in _track must not see the
+        # stale failed-attempt inlier count (it would reject a healthy
+        # reference-KF recovery; advisor r4 high finding)
+        if ok:
+            self._n1_last = inl
+        return ok
 
     def _track_reference_kf(self, frame: Frame) -> bool:
         from ..ops import matching as match_ops

@@ -339,28 +339,6 @@ def orbit_trajectory(n_frames: int, radius: float = 0.8, forward: float = 0.02,
     return poses
 
 
-def walk_trajectory(n_frames: int, period: int = 400, radius: float = 2.5,
-                    bob: float = 0.6, z0: float = 2.0, z_amp: float = 1.2,
-                    yaw_amp: float = 0.25):
-    """A periodic indoor walk (MH01-like gentle dynamics at 20 fps): a large
-    horizontal ellipse with vertical bob and a bounded yaw swing, revisiting
-    every ``period`` frames. Real viewpoint diversity — unlike the lateral
-    ``orbit_trajectory``, successive regions of the path see genuinely
-    different wall sections, so the map grows and the return leg exercises
-    covisibility-based revisit tracking. Returns [(R_cw, t_cw)]."""
-    poses = []
-    for i in range(n_frames):
-        ph = 2 * np.pi * (i % period) / period
-        c = np.array([radius * np.sin(ph), bob * np.sin(2 * ph),
-                      z0 + z_amp * np.cos(ph)])
-        yaw = yaw_amp * np.sin(ph + 0.7)
-        cy, sy = np.cos(yaw), np.sin(yaw)
-        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-        R_cw = R_wc.T
-        poses.append((R_cw, -R_cw @ c))
-    return poses
-
-
 def load_euroc_images(seq_dir: str, cam: str = "cam0"):
     """EuRoC mav0 layout loader → (timestamps (s), image paths). Mirrors the
     reference's LoadImages (Examples/Monocular/mono_euroc.cc:73-107)."""

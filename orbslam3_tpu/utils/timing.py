@@ -14,10 +14,37 @@ from collections import defaultdict
 from contextlib import contextmanager
 
 
+class Timeline:
+    """Cross-thread event timeline for per-frame latency attribution (the
+    reference records EVERY stage of EVERY frame under REGISTER_TIMES,
+    src/Tracking.cc:1878-2399 — aggregate medians hide the latency tail).
+    Each event is (name, thread, t0, t1) in perf_counter seconds; bounded."""
+
+    def __init__(self, cap: int = 200_000):
+        self.events: list = []
+        self.cap = cap
+
+    def record(self, name: str, t0: float, t1: float):
+        if len(self.events) < self.cap:
+            import threading
+            self.events.append((name, threading.current_thread().name, t0, t1))
+
+    def overlap_by_category(self, t0: float, t1: float,
+                            exclude_thread: str | None = None) -> dict:
+        """Per-event-name overlap (seconds) with window [t0, t1]."""
+        out: dict = {}
+        for name, th, a, b in self.events:
+            if th == exclude_thread or b <= t0 or a >= t1:
+                continue
+            out[name] = out.get(name, 0.0) + min(b, t1) - max(a, t0)
+        return out
+
+
 class StageTimer:
     def __init__(self):
         self.samples = defaultdict(list)
         self.enabled = True
+        self.timeline: Timeline | None = None   # set to record attribution
 
     @contextmanager
     def stage(self, name: str):
@@ -28,7 +55,10 @@ class StageTimer:
         try:
             yield
         finally:
-            self.samples[name].append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            self.samples[name].append(t1 - t0)
+            if self.timeline is not None:
+                self.timeline.record(name, t0, t1)
 
     def add(self, name: str, seconds: float):
         self.samples[name].append(seconds)
@@ -61,3 +91,7 @@ class StageTimer:
 
 
 GLOBAL_TIMER = StageTimer()
+
+# Active attribution timeline (None = off). bench.py installs one and points
+# every StageTimer at it; locked_current records lock waits into it.
+GLOBAL_TIMELINE: Timeline | None = None
