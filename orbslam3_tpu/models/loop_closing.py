@@ -70,17 +70,26 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _db_score_fn(db_shape):
+def _db_score_fn(db_shape, n_words):
     """L1 similarity + common-word counts of row ``k`` against the whole
-    device-resident BoW DB, packed into ONE int32 pull:
-    [bitcast(scores) (K,), common (K,)]."""
+    device-resident SPARSE BoW DB ((K,T) word ids + weights — the reference's
+    BowVector is sparse too, Thirdparty/DBoW2/DBoW2/BowVector.h), packed into
+    ONE int32 pull: [bitcast(scores) (K,), common (K,)]. The query is
+    scattered to a dense (W,) scratch once, then every row scores by a (K,T)
+    gather — exact L1 (min(q,d) is supported on d's support), O(K·T) memory,
+    any vocabulary size."""
     import jax
 
     @jax.jit
-    def fn(db, k):
-        q = db[k]
-        scores = vocab_ops.l1_scores(q, db)
-        common = jnp.sum((db > 0) & (q > 0)[None, :], axis=-1,
+    def fn(db_ids, db_w, k):
+        q_ids, q_w = db_ids[k], db_w[k]
+        qd = jnp.zeros((n_words,), jnp.float32).at[
+            jnp.where(q_ids >= 0, q_ids, 0)].set(
+            jnp.where(q_ids >= 0, q_w, 0.0))
+        valid = db_ids >= 0
+        qg = qd[jnp.where(valid, db_ids, 0)]
+        scores = 2.0 * jnp.sum(jnp.minimum(qg, db_w) * valid, axis=-1)
+        common = jnp.sum((qg > 0) & (db_w > 0) & valid, axis=-1,
                          dtype=jnp.int32)
         return jnp.concatenate([
             jax.lax.bitcast_convert_type(scores.astype(jnp.float32),
@@ -139,9 +148,15 @@ class LoopCloser:
             vocab = _default_vocabulary()
         self.vocab = vocab
         self.transform = vocab.transform_fn()
-        self.bow = vocab.bow_fn()
-        self.bow_db = np.zeros((map_state.cfg.max_keyframes, vocab.n_words), np.float32)
-        self.bow_filled = np.zeros(map_state.cfg.max_keyframes, bool)
+        # sparse BowVectors: per-KF top-T (word id, tf-idf weight) pairs —
+        # O(features) per keyframe, not O(n_words); the requirement for
+        # running at real ORBvoc scale (~1M words: a dense row is 4 MB/KF)
+        self.bow_t = min(512, map_state.cfg.n_features, vocab.n_words)
+        self.sbow = vocab.sparse_bow_fn(self.bow_t)
+        cap = map_state.cfg.max_keyframes
+        self.bow_ids = np.full((cap, self.bow_t), -1, np.int32)
+        self.bow_w = np.zeros((cap, self.bow_t), np.float32)
+        self.bow_filled = np.zeros(cap, bool)
         self.stats = {"loops_detected": 0, "loops_corrected": 0, "candidates_checked": 0}
         self.last_loop_kf = -1
         # bound by the system to the tracker's IMU state; an IMU-initialized
@@ -174,17 +189,29 @@ class LoopCloser:
         self._merge_dbs: dict = {}     # map_id -> (n_kf, ids, db)
         map_state.on_remap["loop_closer"] = self._on_map_remap
 
+    def _sparse_row(self, desc, valid):
+        """(T,) ids + (T,) weights of one keyframe/frame — one transform +
+        sparse-BoW dispatch, ONE packed pull."""
+        words = self.transform(jnp.asarray(desc), jnp.asarray(valid))
+        out = np.asarray(self.sbow(words))
+        T = self.bow_t
+        return out[:T], out[T:].view(np.float32)
+
     def _db_sync(self, n_kf: int):
-        """Device BoW DB covering rows [0, n_kf); incremental row appends."""
-        W = self.vocab.n_words
-        cap = self.bow_db.shape[0]
-        if self._db_dev is None or self._db_dev.shape[0] != cap:
-            self._db_dev = jnp.asarray(self.bow_db)
+        """Device sparse BoW DB covering rows [0, n_kf); incremental row
+        appends. Returns (ids (cap,T) int32, weights (cap,T) f32) device
+        arrays."""
+        cap = self.bow_ids.shape[0]
+        if self._db_dev is None or self._db_dev[0].shape[0] != cap:
+            self._db_dev = (jnp.asarray(self.bow_ids),
+                            jnp.asarray(self.bow_w))
             self._db_rows = n_kf
         elif self._db_rows < n_kf:
-            rows = np.arange(self._db_rows, n_kf)
-            self._db_dev = self._db_dev.at[jnp.asarray(rows)].set(
-                jnp.asarray(self.bow_db[rows]))
+            rows = jnp.asarray(np.arange(self._db_rows, n_kf))
+            ids_d, w_d = self._db_dev
+            self._db_dev = (
+                ids_d.at[rows].set(jnp.asarray(self.bow_ids[self._db_rows:n_kf])),
+                w_d.at[rows].set(jnp.asarray(self.bow_w[self._db_rows:n_kf])))
             self._db_rows = n_kf
         return self._db_dev
 
@@ -201,15 +228,18 @@ class LoopCloser:
         """Map pools compacted/grown: reorder the BoW database rows and remap
         held keyframe ids (under the map lock)."""
         new_cap = self.map.cfg.max_keyframes
-        new_db = np.zeros((new_cap, self.vocab.n_words), np.float32)
+        new_ids = np.full((new_cap, self.bow_t), -1, np.int32)
+        new_w = np.zeros((new_cap, self.bow_t), np.float32)
         new_filled = np.zeros(new_cap, bool)
         old = np.nonzero(self.bow_filled)[0]
         old = old[old < len(kf_remap)]
         tgt = kf_remap[old]
         keep = tgt >= 0
-        new_db[tgt[keep]] = self.bow_db[old[keep]]
+        new_ids[tgt[keep]] = self.bow_ids[old[keep]]
+        new_w[tgt[keep]] = self.bow_w[old[keep]]
         new_filled[tgt[keep]] = True
-        self.bow_db = new_db
+        self.bow_ids = new_ids
+        self.bow_w = new_w
         self.bow_filled = new_filled
         self._db_invalidate()
         if self.last_loop_kf >= 0:
@@ -246,9 +276,8 @@ class LoopCloser:
             snap_epoch = m.remap_epoch
             if not m.kf_valid[kf_id]:
                 return False
-            words = self.transform(jnp.asarray(m.kf_feat_desc[kf_id]),
-                                   jnp.asarray(m.kf_feat_valid[kf_id]))
-            self.bow_db[kf_id] = np.asarray(self.bow(words))
+            self.bow_ids[kf_id], self.bow_w[kf_id] = self._sparse_row(
+                m.kf_feat_desc[kf_id], m.kf_feat_valid[kf_id])
             self.bow_filled[kf_id] = True
             self._db_mark_dirty(kf_id)
             # backfill keyframes that never passed through this method —
@@ -260,9 +289,8 @@ class LoopCloser:
             missing = np.nonzero(m.kf_valid[: m.n_kf]
                                  & ~self.bow_filled[: m.n_kf])[0]
             for k in missing[:8]:
-                w = self.transform(jnp.asarray(m.kf_feat_desc[int(k)]),
-                                   jnp.asarray(m.kf_feat_valid[int(k)]))
-                self.bow_db[int(k)] = np.asarray(self.bow(w))
+                self.bow_ids[int(k)], self.bow_w[int(k)] = self._sparse_row(
+                    m.kf_feat_desc[int(k)], m.kf_feat_valid[int(k)])
                 self.bow_filled[int(k)] = True
                 self._db_mark_dirty(int(k))
 
@@ -350,11 +378,10 @@ class LoopCloser:
         valid_ids = np.nonzero(self.bow_filled[: m.n_kf] & m.kf_valid[: m.n_kf])[0]
         if len(valid_ids) == 0:
             return np.zeros(0, np.int64)
-        words = self.transform(jnp.asarray(desc), jnp.asarray(valid))
-        q = self.bow(words)
-        db = jnp.asarray(self.bow_db[valid_ids])
-        scores = np.asarray(vocab_ops.l1_scores(q, db))
-        common = np.asarray(jnp.sum((db > 0) & (q > 0)[None, :], axis=-1))
+        q_ids, q_w = self._sparse_row(desc, valid)
+        qd = vocab_ops.sparse_to_dense_np(q_ids, q_w, self.vocab.n_words)
+        scores, common = vocab_ops.sparse_scores_np(
+            qd, self.bow_ids[valid_ids], self.bow_w[valid_ids])
         eligible = common > 0
         if not eligible.any():
             return np.zeros(0, np.int64)
@@ -383,22 +410,23 @@ class LoopCloser:
         return np.asarray(out, np.int64)
 
     # ------------------------------------------------------------------
-    def _stored_map_db(self, old) -> tuple[np.ndarray, np.ndarray]:
-        """BoW database of a STORED map (ids, (len(ids), W) matrix), built
-        once — stored maps are frozen until a merge retires or revives them."""
+    def _stored_map_db(self, old):
+        """Sparse BoW database of a STORED map (ids, (n,T) word ids, (n,T)
+        weights), built once — stored maps are frozen until a merge retires
+        or revives them."""
         key = old.map_id
         ids = old.valid_kf_ids()
         cached = self._merge_dbs.get(key)
         if cached is not None and cached[0] == len(ids) \
                 and np.array_equal(cached[1], ids):
-            return cached[1], cached[2]
-        db = np.zeros((len(ids), self.vocab.n_words), np.float32)
+            return cached[1], cached[2], cached[3]
+        db_ids = np.full((len(ids), self.bow_t), -1, np.int32)
+        db_w = np.zeros((len(ids), self.bow_t), np.float32)
         for i, k in enumerate(ids):
-            words = self.transform(jnp.asarray(old.kf_feat_desc[int(k)]),
-                                   jnp.asarray(old.kf_feat_valid[int(k)]))
-            db[i] = np.asarray(self.bow(words))
-        self._merge_dbs[key] = (len(ids), ids.copy(), db)
-        return ids, db
+            db_ids[i], db_w[i] = self._sparse_row(
+                old.kf_feat_desc[int(k)], old.kf_feat_valid[int(k)])
+        self._merge_dbs[key] = (len(ids), ids.copy(), db_ids, db_w)
+        return ids, db_ids, db_w
 
     def detect_merge_candidates(self, kf_id: int, n_best: int = 3):
         """Database query of the new keyframe against every STORED map
@@ -408,18 +436,19 @@ class LoopCloser:
         anywhere in a stored map, not just its newest keyframes."""
         if self.stored_maps_fn is None:
             return []
-        q = self.bow_db[kf_id]
+        qd = vocab_ops.sparse_to_dense_np(self.bow_ids[kf_id],
+                                          self.bow_w[kf_id],
+                                          self.vocab.n_words)
         out = []
         for old in self.stored_maps_fn():
-            ids, db = self._stored_map_db(old)
+            ids, db_ids, db_w = self._stored_map_db(old)
             if len(ids) == 0:
                 continue
-            common = ((db > 0) & (q > 0)[None, :]).sum(-1)
+            scores, common = vocab_ops.sparse_scores_np(qd, db_ids, db_w)
             if common.max() == 0:
                 continue
             eligible = common > 0.8 * common.max()
-            scores = np.where(eligible,
-                              -np.abs(db - q[None, :]).sum(-1), -np.inf)
+            scores = np.where(eligible, scores, -np.inf)
             order = np.argsort(-scores)[:n_best]
             for i in order:
                 if np.isfinite(scores[i]):
@@ -469,9 +498,10 @@ class LoopCloser:
             return np.zeros(0, np.int64)
         # device-resident DB: score + common-word counts in one kernel with
         # ONE packed pull (round 2 re-uploaded the whole DB per query)
-        db = self._db_sync(m.n_kf)
-        out = np.asarray(_db_score_fn(db.shape)(db, kf_id))
-        cap = db.shape[0]
+        db_ids, db_w = self._db_sync(m.n_kf)
+        out = np.asarray(_db_score_fn(db_ids.shape, self.vocab.n_words)(
+            db_ids, db_w, kf_id))
+        cap = db_ids.shape[0]
         scores = out[:cap].view(np.float32)[valid_ids]
         common = out[cap:][valid_ids]
 
@@ -823,15 +853,24 @@ class LoopCloser:
         self._essential_graph(fixed_ids=[int(kf2)],
                               extra_edge=(int(kf1), int(kf2), s12, R12, t12, 5.0))
 
-    def optimize_essential_graph(self, fixed_ids):
+    def optimize_essential_graph(self, fixed_ids, meas=None):
         """Distribute residual stress over the whole map after a merge
         (reference MergeLocal runs OptimizeEssentialGraph on the keyframes
         outside the welding window, src/LoopClosing.cc:2141): odometry +
         spanning-tree + covisibility + stored loop edges, welding-window
-        keyframes fixed."""
-        self._essential_graph(fixed_ids=[int(k) for k in fixed_ids])
+        keyframes fixed.
 
-    def _essential_graph(self, fixed_ids, extra_edge=None):
+        ``meas`` = (R (cap,3,3), t (cap,3)) pose snapshot to measure the
+        relative edges from. The reference measures edges from the
+        NON-corrected poses and initializes nodes at the corrected ones
+        (src/Optimizer.cc:3019 merge variant) — measuring from the already-
+        corrected current poses would make the solve a zero-residual no-op,
+        so the weld BA's correction could never propagate past the welding
+        window."""
+        self._essential_graph(fixed_ids=[int(k) for k in fixed_ids],
+                              meas=meas)
+
+    def _essential_graph(self, fixed_ids, extra_edge=None, meas=None):
         m = self.map
         kfs = m.valid_kf_ids()
         K = len(kfs)
@@ -842,15 +881,17 @@ class LoopCloser:
         R0 = m.kf_R[kfs].copy()
         t0 = m.kf_t[kfs].copy()
 
+        mRs = m.kf_R if meas is None else meas[0]
+        mts = m.kf_t if meas is None else meas[1]
         edges_i, edges_j, ms, mR, mt, wts = [], [], [], [], [], []
 
         def add_edge(a, b, w=1.0):
             ia, ib = lut[a], lut[b]
             if ia < 0 or ib < 0:
                 return
-            # measured relative from current estimates: S_ab = S_a ∘ S_b⁻¹
-            Ra, ta = m.kf_R[a], m.kf_t[a]
-            Rb, tb = m.kf_R[b], m.kf_t[b]
+            # measured relative from the measurement poses: S_ab = S_a ∘ S_b⁻¹
+            Ra, ta = mRs[a], mts[a]
+            Rb, tb = mRs[b], mts[b]
             Rab = Ra @ Rb.T
             tab = ta - Rab @ tb
             edges_i.append(ia); edges_j.append(ib)

@@ -307,7 +307,19 @@ class SlamSystem:
     def _merge_with(self, kf_id: int, old, k2: int, S21,
                     cur_map=None, cur_epoch=None) -> bool:
         """Execute an Atlas merge given a verified Sim3 between current-map
-        ``kf_id`` and stored-map ``k2`` (reference MergeLocal2 entry).
+        ``kf_id`` and stored-map ``k2``.
+
+        Initial correction: the reference's MergeLocal window propagation
+        (src/LoopClosing.cc:1772-1853) computes each window keyframe's
+        corrected pose as Siw_corr = (Siw·Twc)·Scw_merge, which factors into
+        Siw ∘ (Swc·Scw_merge) — i.e. ONE world Sim3 applied to every
+        keyframe (and, through their reference keyframes, every map point).
+        The whole-map rigid+scale alignment below is that transform exactly.
+        The part that genuinely differs per keyframe is downstream: the
+        welding BA moves the weld window, and the essential graph on the
+        remainder (reference :2141) measures its edges against the PRE-weld
+        poses so the seam correction distributes along the trajectory — see
+        _weld.
 
         ``cur_map``/``cur_epoch`` identify the map (and its compaction epoch)
         the Sim3 was verified against in the loop-closing thread; the merge is
@@ -367,6 +379,12 @@ class SlamSystem:
         for t in group2:
             mapper._fuse_into(pts_nk, int(t), cap)
         m.refresh_map_points(pts_nk)
+        # snapshot the pre-weld-BA poses: the essential graph below measures
+        # its relative edges from these (the reference's NonCorrected poses,
+        # src/Optimizer.cc:3019) so the weld BA's seam correction propagates
+        # smoothly into the rest of the migrated map instead of the graph
+        # solving an already-zero-residual problem
+        meas = (m.kf_R.copy(), m.kf_t.copy())
         if getattr(self.tracker, "imu_initialized", False):
             # inertial weld: the joint pose/velocity/bias/landmark window BA
             # (reference MergeInertialBA, src/Optimizer.cc:6539, called from
@@ -381,7 +399,7 @@ class SlamSystem:
         if self.loop_closer is not None and m.kf_valid[: m.n_kf].sum() > 4:
             fixed = [nk] + [int(g) for g in group2]
             try:
-                self.loop_closer.optimize_essential_graph(fixed)
+                self.loop_closer.optimize_essential_graph(fixed, meas=meas)
             except Exception as e:
                 from ..utils import verbose
                 verbose.print_mess(f"merge essential graph failed: {e!r}",

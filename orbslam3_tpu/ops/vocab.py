@@ -153,6 +153,52 @@ class BinaryVocabulary:
 
         return fn
 
+    def sparse_bow_fn(self, top_t: int):
+        """Sparse BowVector (the reference's DBoW2 ``BowVector`` is a sparse
+        word→weight map, Thirdparty/DBoW2/DBoW2/BowVector.h): jitted
+        fn(word_ids (N,)) → packed int32 (2·T,) = [word ids (T,) desc-weight
+        order, bitcast(weights) (T,)], ids padded with −1. A frame has at
+        most N distinct words, so per-keyframe storage is O(features) — NOT
+        O(n_words) — which is what makes a 10⁵–10⁶-word vocabulary usable
+        (a dense row would be 4 MB/KF at 1M words)."""
+        return _sparse_bow_fn(jnp.asarray(self.idf), self.n_words,
+                              min(top_t, self.n_words))
+
+
+def _sparse_bow_fn(idf, W: int, T: int):
+    @jax.jit
+    def fn(word_ids):
+        ok = word_ids >= 0
+        hist = jnp.zeros((W,), jnp.float32).at[
+            jnp.where(ok, word_ids, 0)].add(ok.astype(jnp.float32))
+        v = hist * idf
+        v = v / jnp.maximum(jnp.sum(v), 1e-9)
+        w_top, i_top = jax.lax.top_k(v, T)
+        ids = jnp.where(w_top > 0, i_top, -1).astype(jnp.int32)
+        return jnp.concatenate([
+            ids, jax.lax.bitcast_convert_type(w_top, jnp.int32)])
+    return fn
+
+
+def sparse_scores_np(q_dense: np.ndarray, db_ids: np.ndarray,
+                     db_w: np.ndarray):
+    """Host-side exact L1 scores + common-word counts of a dense query vector
+    against a sparse database ((K,T) ids / weights). min(q,d) is nonzero only
+    on d's support, so iterating the rows' supports is exact."""
+    valid = db_ids >= 0
+    qg = q_dense[np.where(valid, db_ids, 0)]
+    scores = 2.0 * np.sum(np.minimum(qg, db_w) * valid, axis=-1)
+    common = np.sum((qg > 0) & (db_w > 0) & valid, axis=-1)
+    return scores.astype(np.float32), common.astype(np.int64)
+
+
+def sparse_to_dense_np(ids: np.ndarray, w: np.ndarray, n_words: int):
+    """Scatter one sparse BowVector to a dense (W,) numpy vector."""
+    out = np.zeros(n_words, np.float32)
+    sel = ids >= 0
+    out[ids[sel]] = w[sel]
+    return out
+
 
 class GeneralVocabulary:
     """Array-form DBoW2 tree of arbitrary shape (loaded from ORBvoc.txt).
@@ -214,6 +260,12 @@ class GeneralVocabulary:
             return v / jnp.maximum(jnp.sum(v), 1e-9)
 
         return fn
+
+    def sparse_bow_fn(self, top_t: int):
+        """Sparse BowVector (see BinaryVocabulary.sparse_bow_fn) — required
+        at ORBvoc scale (~1M words)."""
+        return _sparse_bow_fn(jnp.asarray(self.word_weight), self.n_words,
+                              min(top_t, self.n_words))
 
 
 def load_dbow2_text(path: str) -> GeneralVocabulary:
