@@ -123,26 +123,28 @@ def bench_system_e2e(n_frames: int = 300, warmup: int = 30):
     imgs = [scene.render(R, t) for (R, t) in poses]   # pre-render (host cost
     # excluded — the camera, not the SLAM system)
 
-    # Warmup lap, SYNC mapping, untimed: compiles every kernel bucket the
-    # walk will touch from a SINGLE thread. The axon backend's remote
-    # compiles stall by minutes when issued from the mapper thread while the
-    # tracking thread keeps the tunnel busy (measured: the mapper thread
-    # wedged in backend_compile_and_load for 50+ frames); pre-compiling
-    # single-threaded (persistent cache /tmp/jax_cache makes reruns cheap)
-    # means the timed async section runs steady-state kernels only.
-    warm = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=1024,
-                      seed=0,
-                      tracking_params=TrackingParams(kf_interval_override=5,
-                                                     pipeline=True))
-    for i in range(0, n_frames, 2):   # stride 2: same bucket coverage, half cost
+    # Warmup lap, untimed, in the EXACT timed configuration (async mapping +
+    # loop closing + pipelining): every kernel bucket the timed run will
+    # touch — including mapper BA buckets and loop-closing kernels that a
+    # sync warmup never compiles — is compiled (or loaded from the
+    # persistent cache /tmp/jax_cache) before the clock starts. The r4/r5
+    # tail attribution showed timed-section xla_compile as the single
+    # largest latency term (~150 s of a 136 s-wall run).
+    def make_system():
+        return SlamSystem(scene.K, None, (scene.w, scene.h), n_features=1024,
+                          seed=0, mapping_mode="async",
+                          tracking_params=TrackingParams(
+                              kf_interval_override=5, pipeline=True,
+                              pipeline_depth=2))
+    warm = make_system()
+    for i in range(n_frames):
         warm.track_monocular(imgs[i], ts=float(i) / 20.0)
+    warm.tracker.flush_pending()
+    warm.wait_idle(timeout=120.0)
     warm.shutdown(print_times=False)
     del warm
 
-    slam = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=1024,
-                      seed=0, mapping_mode="async",
-                      tracking_params=TrackingParams(kf_interval_override=5,
-                                                     pipeline=True))
+    slam = make_system()
     # per-frame latency attribution (VERDICT r4 Missing #6): every stage of
     # every frame in every thread goes to a shared timeline, plus lock waits
     # and XLA compile events; the tail analysis below names the dominant term
@@ -232,6 +234,113 @@ def bench_system_e2e(n_frames: int = 300, warmup: int = 30):
              for k, v in st.get("stage_times", {}).items()})
 
 
+def bench_vi_e2e(n_frames: int = 200, warmup: int = 20):
+    """Stereo-inertial end-to-end throughput (the BASELINE.json north-star
+    config: EuRoC stereo-inertial at 20 fps). Same walk scene as the visual
+    bench, rendered for both eyes, with an analytic 200 Hz IMU stream; the
+    post-IMU-init frames ride the fused VI dispatch
+    (kernels.fused_track_vi_pooled) through the software pipeline."""
+    import jax.numpy as jnp
+    from orbslam3_tpu.models.system import SlamSystem
+    from orbslam3_tpu.models.tracking import TrackingParams
+    from orbslam3_tpu.ops import lie
+    from orbslam3_tpu.utils.datasets import RoomScene
+    from orbslam3_tpu.utils.evaluation import evaluate_trajectory
+
+    FPS, IMU_HZ = 20.0, 200
+    G_W = np.array([0.0, 9.81, 0.0])
+    period = 280.0
+
+    def pose_at(x):
+        # continuous walk (walk_trajectory's formula at fractional frames)
+        ph = 2 * np.pi * (x % period) / period
+        c = np.array([2.2 * np.sin(ph), 0.5 * np.sin(2 * ph),
+                      2.0 + 1.1 * np.cos(ph)])
+        yaw = 0.25 * np.sin(ph + 0.7)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        return R_wc.T, -R_wc.T @ c
+
+    def make_imu():
+        dt = 1.0 / IMU_HZ
+        n_steps = int(n_frames * IMU_HZ / FPS)
+        xs = np.arange(n_steps + 1) * (FPS / IMU_HZ)
+        poses = [pose_at(x) for x in xs]
+        R_wb = np.stack([R.T for R, t in poses])
+        p = np.stack([-R.T @ t for R, t in poses])
+        v = np.gradient(p, dt, axis=0)
+        a_w = np.gradient(v, dt, axis=0)
+        gyro = np.zeros((n_steps, 3))
+        for i in range(n_steps):
+            dRm = (R_wb[i].T @ R_wb[i + 1]).astype(np.float32)
+            gyro[i] = np.asarray(lie.so3_log(jnp.asarray(dRm))) / dt
+        acc = np.einsum("nji,nj->ni", R_wb[:-1], a_w[:-1] - G_W[None])
+        return ((np.arange(n_steps) + 1) * dt, gyro.astype(np.float32),
+                acc.astype(np.float32))
+
+    scene = RoomScene(seed=1, n_clutter=4)
+    B = 0.11
+    frames = []
+    for i in range(n_frames):
+        R, t = pose_at(float(i))
+        Rr, tr = scene.stereo_pose(R, t, B)
+        frames.append((scene.render(R, t), scene.render(Rr, tr)))
+    imu_ts, gyro, acc = make_imu()
+    per = IMU_HZ // int(FPS)
+
+    def run(system):
+        for i in range(n_frames):
+            s0, s1 = (i - 1) * per, i * per
+            if i == 0:
+                s0 = s1 = 0
+            system.track_stereo_inertial(
+                frames[i][0], frames[i][1], ts=i / FPS,
+                imu_ts=imu_ts[s0:s1], imu_gyro=gyro[s0:s1],
+                imu_acc=acc[s0:s1])
+
+    def make_system():
+        s = SlamSystem(scene.K, None, (scene.w, scene.h), n_features=1024,
+                       seed=0, bf=B * scene.K[0], th_depth=40.0,
+                       mapping_mode="async",
+                       tracking_params=TrackingParams(kf_interval_override=5,
+                                                      pipeline=True))
+        s.enable_imu(freq=IMU_HZ)
+        return s
+    warm = make_system()
+    run(warm)
+    warm.tracker.flush_pending()
+    warm.wait_idle(timeout=120.0)
+    warm.shutdown(print_times=False)
+    del warm
+
+    slam = make_system()
+    t0 = time.perf_counter()
+    run(slam)
+    slam.tracker.flush_pending()
+    t_track = time.perf_counter() - t0
+    slam.wait_idle(timeout=120.0)
+    gt = np.array([-pose_at(float(i))[0].T @ pose_at(float(i))[1]
+                   for i in range(n_frames)])
+    ate = None
+    try:
+        ts, R_wc, t_wc, lost = slam.export_trajectory()
+        sel = ~lost
+        if sel.sum() > n_frames // 2:
+            a, n_assoc = evaluate_trajectory(
+                np.arange(n_frames) / FPS, gt, ts[sel], t_wc[sel],
+                with_scale=False)   # metric: the IMU fixes scale
+            if n_assoc > n_frames // 2:
+                ate = round(float(a), 4)
+    except Exception:
+        pass
+    out = {"vi_fps": round(n_frames / t_track, 2),
+           "vi_ate_m": ate,
+           "vi_imu_initialized": bool(slam.tracker.imu_initialized),
+           "vi_paths": dict(slam.tracker.path_counts)}
+    slam.shutdown(print_times=False)
+    return out
+
+
 def _make_ba_problem(n_kf: int, n_pts: int = 4096, n_obs: int = 16384,
                      seed: int = 0):
     import jax.numpy as jnp
@@ -290,6 +399,10 @@ def main():
     platform = _setup_jax()
     kernel_fps = bench_kernel_path()
     wall_fps, fps_med_latency, map_stats, stage_ms = bench_system_e2e()
+    try:
+        vi = bench_vi_e2e()
+    except Exception as e:   # the headline JSON line must always print
+        vi = {"vi_error": repr(e)[:200]}
     ba = bench_ba_iters()
     baseline_fps = 20.0  # reference real-time contract (BASELINE.md)
     print(json.dumps({
@@ -300,6 +413,7 @@ def main():
         "platform": platform,
         "frame_latency_median_fps": round(fps_med_latency, 2),
         "kernel_path_fps": round(kernel_fps, 2),
+        "stereo_inertial": vi,
         "ba_iters_per_s": ba,
         "bench_map": map_stats,
         "stage_median_ms": stage_ms,

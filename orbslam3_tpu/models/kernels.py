@@ -238,6 +238,75 @@ def _gather_pool(mpf, mpu, ids):
     return xyz, desc, normal, mind, maxd, valid
 
 
+def _make_pool_matcher(cam_type: int, n_levels: int, scale: float,
+                       camp, whv):
+    """Frustum + projection-window + ratio-test matcher over gathered pool
+    rows (the fused form of reference Frame::isInFrustum src/Frame.cc:603 +
+    ORBmatcher::SearchByProjection src/ORBmatcher.cc:45), shared by the
+    visual and visual-inertial fused tracking kernels."""
+    sf = jnp.asarray([scale ** i for i in range(n_levels)], jnp.float32)
+    log_scale = jnp.log(jnp.asarray(scale, jnp.float32))
+
+    def _one_radius(dist_m, frustum, uv, lvl, feat_xy, feat_octave,
+                    feat_valid, radius, ratio, max_dist, n_feat):
+        mask = (frustum[:, None] & feat_valid[None, :]
+                & matching.window_mask(uv, feat_xy, radius * sf[lvl])
+                & matching.octave_mask(lvl, feat_octave, 1, 1))
+        d_big = jnp.where(mask, dist_m, matching.BIG)
+        idx = jnp.argmin(d_big, axis=1)
+        best = jnp.take_along_axis(d_big, idx[:, None], axis=1)[:, 0]
+        d2 = d_big.at[jnp.arange(d_big.shape[0]), idx].set(matching.BIG)
+        second = jnp.min(d2, axis=1)
+        ok = (best <= max_dist) & (best.astype(jnp.float32)
+                                   < ratio * second.astype(jnp.float32))
+        ok = matching.resolve_duplicates(idx, best, ok, n_feat)
+        return idx, ok
+
+    def _match(xyz, desc, normal, mind, maxd, mvalid, R, t,
+               feat_xy, feat_desc, feat_octave, feat_valid,
+               radius, ratio, max_dist, view_cos_th, retry_min=0):
+        xc = lie.se3_apply(R, t, xyz)
+        z_ok = xc[..., 2] > 0.05
+        uv = cam_ops.project(cam_type, camp, xc)
+        in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < whv[0])
+                  & (uv[:, 1] >= 0) & (uv[:, 1] < whv[1]))
+        cam_center = -R.T @ t
+        d = xyz - cam_center
+        dist = jnp.linalg.norm(d, axis=-1)
+        dist_ok = (dist > 0.8 * mind) & (dist < 1.2 * maxd)
+        view_cos = jnp.sum(d * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+        lvl = jnp.ceil(jnp.log(jnp.maximum(maxd, 1e-9)
+                               / jnp.maximum(dist, 1e-9)) / log_scale)
+        lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+        frustum = (mvalid & z_ok & in_img & dist_ok
+                   & (view_cos > view_cos_th))
+        dist_m = matching.hamming_matrix(desc, feat_desc)
+        n_feat = feat_desc.shape[0]
+        idx, ok = _one_radius(dist_m, frustum, uv, lvl, feat_xy, feat_octave,
+                              feat_valid, radius, ratio, max_dist, n_feat)
+        if retry_min:
+            # the reference's motion-model 2x-radius rescue (SURVEY A.2,
+            # src/Tracking.cc:3212-3260): when the narrow window finds too
+            # few matches (prediction error exceeded it), re-match at 2x.
+            # The Hamming matrix is radius-independent, so the retry reuses
+            # it and costs only a second masking pass — always computed,
+            # selected by a scalar (fixed-shape, no host round trip). The
+            # staged cascade has this rescue (tracking._track_motion_model);
+            # without it here, a curvature phase whose flow exceeds the
+            # window makes the fused path fail PERSISTENTLY while staged
+            # rescues every frame (measured: n1 221->6 over 4 frames, then
+            # ~2 forever, on the VI orbit fixture).
+            idx_w, ok_w = _one_radius(dist_m, frustum, uv, lvl, feat_xy,
+                                      feat_octave, feat_valid, 2.0 * radius,
+                                      ratio, max_dist, n_feat)
+            use_wide = jnp.sum(ok.astype(jnp.int32)) < retry_min
+            idx = jnp.where(use_wide, idx_w, idx)
+            ok = jnp.where(use_wide, ok_w, ok)
+        return idx, ok, frustum
+
+    return _match
+
+
 @functools.lru_cache(maxsize=None)
 def fused_track_pooled(cam_type: int, n_levels: int, scale: float,
                        cam_params: tuple, wh: tuple, bf: float,
@@ -265,41 +334,9 @@ def fused_track_pooled(cam_type: int, n_levels: int, scale: float,
 
     sf = jnp.asarray([scale ** i for i in range(n_levels)], jnp.float32)
     inv_s2_lut = 1.0 / (sf * sf)
-    log_scale = jnp.log(jnp.asarray(scale, jnp.float32))
     camp = jnp.asarray(cam_params, jnp.float32)
     whv = jnp.asarray(wh, jnp.float32)
-
-    def _match(xyz, desc, normal, mind, maxd, mvalid, R, t,
-               feat_xy, feat_desc, feat_octave, feat_valid,
-               radius, ratio, max_dist, view_cos_th):
-        xc = lie.se3_apply(R, t, xyz)
-        z_ok = xc[..., 2] > 0.05
-        uv = cam_ops.project(cam_type, camp, xc)
-        in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < whv[0])
-                  & (uv[:, 1] >= 0) & (uv[:, 1] < whv[1]))
-        cam_center = -R.T @ t
-        d = xyz - cam_center
-        dist = jnp.linalg.norm(d, axis=-1)
-        dist_ok = (dist > 0.8 * mind) & (dist < 1.2 * maxd)
-        view_cos = jnp.sum(d * normal, axis=-1) / jnp.maximum(dist, 1e-9)
-        lvl = jnp.ceil(jnp.log(jnp.maximum(maxd, 1e-9)
-                               / jnp.maximum(dist, 1e-9)) / log_scale)
-        lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
-        frustum = (mvalid & z_ok & in_img & dist_ok
-                   & (view_cos > view_cos_th))
-        dist_m = matching.hamming_matrix(desc, feat_desc)
-        mask = (frustum[:, None] & feat_valid[None, :]
-                & matching.window_mask(uv, feat_xy, radius * sf[lvl])
-                & matching.octave_mask(lvl, feat_octave, 1, 1))
-        d_big = jnp.where(mask, dist_m, matching.BIG)
-        idx = jnp.argmin(d_big, axis=1)
-        best = jnp.take_along_axis(d_big, idx[:, None], axis=1)[:, 0]
-        d2 = d_big.at[jnp.arange(d_big.shape[0]), idx].set(matching.BIG)
-        second = jnp.min(d2, axis=1)
-        ok = (best <= max_dist) & (best.astype(jnp.float32)
-                                   < ratio * second.astype(jnp.float32))
-        ok = matching.resolve_duplicates(idx, best, ok, feat_desc.shape[0])
-        return idx, ok, frustum
+    _match = _make_pool_matcher(cam_type, n_levels, scale, camp, whv)
 
     @functools.partial(jax.jit, static_argnames=("cl",))
     def fn(pose_in, ids, mpf, mpu,
@@ -323,7 +360,7 @@ def fused_track_pooled(cam_type: int, n_levels: int, scale: float,
         idx1, ok1, _ = _match(l_xyz, l_desc, l_norm, l_mind, l_maxd, l_valid,
                               R0, t0, feat_xy, feat_desc, feat_octave,
                               feat_valid, motion_radius, motion_ratio,
-                              th_high, 0.5)
+                              th_high, 0.5, retry_min=20)
         a_last = jnp.full((N,), -1, jnp.int32).at[idx1].max(
             jnp.where(ok1, jnp.arange(cl, dtype=jnp.int32), -1))
         m1 = a_last >= 0
@@ -364,6 +401,144 @@ def fused_track_pooled(cam_type: int, n_levels: int, scale: float,
             a_last, a_loc,
             _pack_bits_i32(frustum2),
             _pack_bits_i32(res2.inlier),
+        ])
+        return out
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def fused_track_vi_pooled(cam_type: int, n_levels: int, scale: float,
+                          cam_params: tuple, wh: tuple, bf: float,
+                          motion_radius: float, local_radius: float,
+                          motion_ratio: float, local_ratio: float,
+                          th_high: int, sigma_gw: float, sigma_aw: float,
+                          pose_rounds: int = 2, pose_iters: int = 10):
+    """One-dispatch per-frame VISUAL-INERTIAL tracking against the device-
+    resident map pool — the post-IMU-init per-frame hot path as a single
+    device call (the reference runs PredictStateIMU src/Tracking.cc:1616 →
+    SearchByProjection → PoseOptimization → TrackLocalMap →
+    PoseInertialOptimizationLastFrame src/Optimizer.cc:7785 inside the frame
+    budget; here prediction, both matching stages, the visual LM and the
+    15-dim inertial frame solve fuse into one dispatch).
+
+    Stages (all on device):
+      1. IMU state propagation from the previous frame's body state through
+         the per-frame preintegration (PredictStateIMU).
+      2. last-frame candidates matched at the predicted pose → visual pose
+         LM with a weak prior anchored at the prediction.
+      3. local-map candidates matched at the refined pose.
+      4. pose_inertial_optimize: current pose+velocity+biases against the
+         previous 15-dim state through the preintegration edge + bias
+         random-walk edges + the carried ConstraintPoseImu marginal prior.
+
+    fn(vi_state (247,) f32, ids (CL+CC,) i32, mpf, mpu,
+       feat_xy, feat_desc, feat_octave, feat_valid, feat_ur,
+       pre: PreintState, cl: static) → packed int32:
+      [0:12]=bitcast(R,t), [12]=n1, [13]=n_inl, [14:14+N]=a_last,
+      [14+N:14+2N]=a_loc, packbits(frustum over CC), packbits(inlier),
+      then bitcast f32: v(3), bg(3), ba(3), H_marg(225).
+
+    vi_state = [R1_wb(9), p1_wb(3), v1(3), bg(3), ba(3),
+                prior_H(225; pass σ⁻²≈1e6·I when no prior is carried),
+                prior_eps_visual(1)].
+    """
+    from ..ops import pose_opt as pose_ops
+    from ..ops import vi_ba as vi_ops
+    from ..ops import imu as imu_ops
+
+    sf = jnp.asarray([scale ** i for i in range(n_levels)], jnp.float32)
+    inv_s2_lut = 1.0 / (sf * sf)
+    camp = jnp.asarray(cam_params, jnp.float32)
+    whv = jnp.asarray(wh, jnp.float32)
+    _match = _make_pool_matcher(cam_type, n_levels, scale, camp, whv)
+
+    @functools.partial(jax.jit, static_argnames=("cl",))
+    def fn(vi_state, ids, mpf, mpu,
+           feat_xy, feat_desc, feat_octave, feat_valid, feat_ur,
+           pre: "imu_ops.PreintState", *, cl: int):
+        N = feat_xy.shape[0]
+        R1_wb = vi_state[0:9].reshape(3, 3)
+        p1_wb = vi_state[9:12]
+        v1 = vi_state[12:15]
+        bg = vi_state[15:18]
+        ba = vi_state[18:21]
+        prior_H = vi_state[21:246].reshape(15, 15)
+        prior_eps = vi_state[246]
+        inv_s2 = inv_s2_lut[jnp.clip(feat_octave, 0, n_levels - 1)]
+
+        # 1. PredictStateIMU: propagate the previous body state through the
+        # preintegrated deltas (corrected to the current bias estimate)
+        dR_c, dV_c, dP_c = imu_ops.corrected_delta(pre, bg, ba)
+        g = jnp.asarray([0.0, 0.0, -imu_ops.GRAVITY], jnp.float32)
+        dT = pre.dT
+        R2_wb = R1_wb @ dR_c
+        p2_wb = (p1_wb + v1 * dT + 0.5 * g * dT * dT + R1_wb @ dP_c)
+        v2 = v1 + g * dT + R1_wb @ dV_c
+        R0 = R2_wb.T
+        t0 = -R2_wb.T @ p2_wb
+
+        ids_l = ids[:cl]
+        ids_c = ids[cl:]
+        l_xyz, l_desc, l_norm, l_mind, l_maxd, l_valid = \
+            _gather_pool(mpf, mpu, ids_l)
+        c_xyz, c_desc, c_norm, c_mind, c_maxd, c_valid = \
+            _gather_pool(mpf, mpu, ids_c)
+
+        # 2. last-frame points at the IMU-predicted pose; visual LM refines
+        # (reference TrackWithMotionModel with PredictStateIMU seed)
+        idx1, ok1, _ = _match(l_xyz, l_desc, l_norm, l_mind, l_maxd, l_valid,
+                              R0, t0, feat_xy, feat_desc, feat_octave,
+                              feat_valid, motion_radius, motion_ratio,
+                              th_high, 0.5, retry_min=20)
+        a_last = jnp.full((N,), -1, jnp.int32).at[idx1].max(
+            jnp.where(ok1, jnp.arange(cl, dtype=jnp.int32), -1))
+        m1 = a_last >= 0
+        pts1 = l_xyz[jnp.maximum(a_last, 0)]
+        res1 = pose_ops.pose_optimize(
+            R0, t0, pts1, feat_xy, inv_s2, m1 & feat_valid, camp,
+            cam_type=cam_type, rounds=pose_rounds, iters=pose_iters,
+            obs_ur=feat_ur, bf=bf,
+            prior_R=R0, prior_t=t0, prior_eps=prior_eps)
+        a_last = jnp.where(res1.inlier & m1, a_last, -1)
+
+        # 3. local-map points at the refined pose
+        idx2, ok2, frustum2 = _match(
+            c_xyz, c_desc, c_norm, c_mind, c_maxd, c_valid,
+            res1.R, res1.t, feat_xy, feat_desc, feat_octave,
+            feat_valid & (a_last < 0), local_radius, local_ratio,
+            th_high, 0.5)
+        cc = ids_c.shape[0]
+        a_loc = jnp.full((N,), -1, jnp.int32).at[idx2].max(
+            jnp.where(ok2, jnp.arange(cc, dtype=jnp.int32), -1))
+        a_loc = jnp.where(a_last >= 0, -1, a_loc)
+        m2 = (a_last >= 0) | (a_loc >= 0)
+        pts2 = jnp.where((a_last >= 0)[:, None],
+                         l_xyz[jnp.maximum(a_last, 0)],
+                         c_xyz[jnp.maximum(a_loc, 0)])
+
+        # 4. visual-inertial frame optimization with the marginal prior
+        res2 = vi_ops.pose_inertial_optimize(
+            res1.R, res1.t, v2, R1_wb, p1_wb, v1,
+            bg, ba, dT, dR_c, dV_c, dP_c,
+            pre.JRg, pre.JVg, pre.JVa, pre.JPg, pre.JPa, pre.C[:9, :9],
+            pts2, feat_xy, inv_s2, m2 & feat_valid, camp,
+            cam_type=cam_type, sigma_gw=sigma_gw, sigma_aw=sigma_aw,
+            prior_H=prior_H)
+        a_last = jnp.where(res2.inlier, a_last, -1)
+        a_loc = jnp.where(res2.inlier, a_loc, -1)
+        n1 = jnp.sum((m1 & feat_valid).astype(jnp.int32))
+        out = jnp.concatenate([
+            _bitcast_f2i(res2.R.reshape(-1)),
+            _bitcast_f2i(res2.t),
+            jnp.stack([n1, res2.n_inliers.astype(jnp.int32)]),
+            a_last, a_loc,
+            _pack_bits_i32(frustum2),
+            _pack_bits_i32(res2.inlier),
+            _bitcast_f2i(res2.v),
+            _bitcast_f2i(res2.bg),
+            _bitcast_f2i(res2.ba),
+            _bitcast_f2i(res2.H_marg.reshape(-1)),
         ])
         return out
 

@@ -111,10 +111,17 @@ class LocalMapper:
                 return kf_id
             with self.timer.stage("6.mp_culling"):
                 self.cull_map_points(kf_id)
-            with self.timer.stage("7.mp_creation"):
-                self.create_new_map_points(kf_id)
-            with self.timer.stage("8.fuse"):
-                self.search_in_neighbors(kf_id)
+        # triangulation + fuse manage their own locking: they gather and
+        # dispatch under the map lock but block on the device PULL outside
+        # it, so the tracker (locked_current on the same per-map lock) is
+        # never stalled behind a mapper device round trip — the reference's
+        # Tracking-never-blocks-on-mapping contract (src/Tracking.cc:3626,
+        # src/LocalMapping.cc:153-187). Pool indices stay stable meanwhile:
+        # compaction runs only in this thread (maybe_compact above).
+        with self.timer.stage("7.mp_creation"):
+            self.create_new_map_points(kf_id)
+        with self.timer.stage("8.fuse"):
+            self.search_in_neighbors(kf_id)
         if abort_check is None or not abort_check():
             with self.timer.stage("9.local_ba"):
                 if (self.inertial is not None and self.inertial.imu_initialized):
@@ -181,6 +188,20 @@ class LocalMapper:
         per neighbor)."""
         from .device_map import kf_pool_for
         m = self.map
+        with m.lock:
+            out_dev = self._dispatch_triangulation(kf_id, n_neighbors)
+        if out_dev is None:
+            return
+        out_dev, nb_ids, c1, cap_new = out_dev
+        # block on the device round trip OUTSIDE the map lock (tracker must
+        # not wait behind it); indices stay valid — compaction is same-thread
+        out = np.asarray(out_dev)
+        with m.lock:
+            self._apply_triangulation(kf_id, out, nb_ids, c1, cap_new)
+
+    def _dispatch_triangulation(self, kf_id: int, n_neighbors: int):
+        from .device_map import kf_pool_for
+        m = self.map
         neighbors = m.best_covisible(kf_id, n_neighbors, min_weight=15)
         if len(neighbors) == 0 and m.n_kf >= 2:
             neighbors = np.array([kf_id - 1], np.int32)
@@ -188,7 +209,7 @@ class LocalMapper:
         c1 = -R1.T @ t1
         un1 = m.kf_feat_valid[kf_id] & (m.kf_feat_mp[kf_id] < 0)
         if un1.sum() < 10:
-            return
+            return None
         keep = []
         for k2 in neighbors:
             k2 = int(k2)
@@ -210,7 +231,7 @@ class LocalMapper:
                 continue
             keep.append((k2, un2))
         if not keep:
-            return
+            return None
         B = 16 if len(keep) > 8 else 8
         N = m.cfg.n_features
         nb_ids = np.full(B, -1, np.int32)
@@ -229,13 +250,16 @@ class LocalMapper:
             self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale,
             tuple(float(v) for v in self.K), cap_new=cap_new,
             max_dist=50, sigma_n=1.0 / float(self.K[0]))
-        kf_dev = jnp.asarray(kf_id)
-        out = np.asarray(fn(
+        out_dev = fn(
             jnp.asarray(pose1),
             pool_xy[kf_id], pool_desc[kf_id], pool_oct[kf_id],
             jnp.asarray(un1), jnp.asarray(nb_ids),
             jnp.asarray(nb_ids >= 0), jnp.asarray(poses2),
-            jnp.asarray(un2_all), pool_xy, pool_desc, pool_oct))
+            jnp.asarray(un2_all), pool_xy, pool_desc, pool_oct)
+        return out_dev, nb_ids, c1, cap_new
+
+    def _apply_triangulation(self, kf_id: int, out, nb_ids, c1, cap_new):
+        m = self.map
         count = int(out[0])
         if count == 0:
             return
@@ -289,48 +313,54 @@ class LocalMapper:
             self._fuse_match = kernels.projection_matcher(
                 self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale)
         from .device_map import kf_pool_for, mirror_for
-        neighbors = [int(k) for k in m.best_covisible(kf_id, n_neighbors, min_weight=15)]
-        if not neighbors:
-            return
-        kf_mps = m.kf_feat_mp[kf_id]
-        kf_mps = np.unique(kf_mps[kf_mps >= 0])
-        kf_mps = kf_mps[m.mp_valid[kf_mps]]
-        # both directions in ONE dispatch: targets = neighbors (receiving this
-        # KF's points) + this KF (receiving the union of neighbor points)
-        neigh_mps = m.local_map_points(np.asarray(neighbors, np.int32))
-        targets = neighbors + [kf_id]
-        T = 16 if len(targets) > 12 else 12
-        C = cap
-        tgt_ids = np.full(T, -1, np.int32)
-        tgt_ids[: len(targets)] = targets
-        tgt_poses = np.zeros((T, 12), np.float32)
-        tgt_poses[: len(targets), 0:9] = m.kf_R[targets].reshape(-1, 9)
-        tgt_poses[: len(targets), 9:12] = m.kf_t[targets]
-        N = m.cfg.n_features
-        tgt_fvalid = np.zeros((T, N), bool)
-        tgt_fvalid[: len(targets)] = m.kf_feat_valid[targets]
-        cand_ids = np.full((T, C), -1, np.int32)
-        for i in range(len(neighbors)):
-            cand_ids[i, : min(len(kf_mps), C)] = kf_mps[:C]
-        cand_ids[len(targets) - 1, : min(len(neigh_mps), C)] = neigh_mps[:C]
-        fn = kernels.fuse_batched(
-            self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale,
-            tuple(float(v) for v in self.K),
-            (float(self.wh[0]), float(self.wh[1])), cap_cand=C)
-        mpf, mpu = mirror_for(m).sync(m)
-        pool_xy, pool_desc, pool_oct = kf_pool_for(m).sync(m, targets)
-        cap_out = 4096
-        out = np.asarray(fn(
-            jnp.asarray(tgt_ids), jnp.asarray(tgt_poses),
-            jnp.asarray(tgt_fvalid), jnp.asarray(cand_ids), mpf, mpu,
-            pool_xy, pool_desc, pool_oct))
-        count = int(out[0])
-        if count:
-            t_i = out[1: 1 + cap_out][:count]
-            c_i = out[1 + cap_out: 1 + 2 * cap_out][:count]
-            f_i = out[1 + 2 * cap_out: 1 + 3 * cap_out][:count]
-            self._apply_fuse_matches(tgt_ids[t_i], cand_ids[t_i, c_i], f_i)
-        m.refresh_map_points(kf_mps)
+        with m.lock:
+            neighbors = [int(k) for k in
+                         m.best_covisible(kf_id, n_neighbors, min_weight=15)]
+            if not neighbors:
+                return
+            kf_mps = m.kf_feat_mp[kf_id]
+            kf_mps = np.unique(kf_mps[kf_mps >= 0])
+            kf_mps = kf_mps[m.mp_valid[kf_mps]]
+            # both directions in ONE dispatch: targets = neighbors (receiving
+            # this KF's points) + this KF (receiving the union of neighbor
+            # points)
+            neigh_mps = m.local_map_points(np.asarray(neighbors, np.int32))
+            targets = neighbors + [kf_id]
+            T = 16 if len(targets) > 12 else 12
+            C = cap
+            tgt_ids = np.full(T, -1, np.int32)
+            tgt_ids[: len(targets)] = targets
+            tgt_poses = np.zeros((T, 12), np.float32)
+            tgt_poses[: len(targets), 0:9] = m.kf_R[targets].reshape(-1, 9)
+            tgt_poses[: len(targets), 9:12] = m.kf_t[targets]
+            N = m.cfg.n_features
+            tgt_fvalid = np.zeros((T, N), bool)
+            tgt_fvalid[: len(targets)] = m.kf_feat_valid[targets]
+            cand_ids = np.full((T, C), -1, np.int32)
+            for i in range(len(neighbors)):
+                cand_ids[i, : min(len(kf_mps), C)] = kf_mps[:C]
+            cand_ids[len(targets) - 1, : min(len(neigh_mps), C)] = neigh_mps[:C]
+            fn = kernels.fuse_batched(
+                self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale,
+                tuple(float(v) for v in self.K),
+                (float(self.wh[0]), float(self.wh[1])), cap_cand=C)
+            mpf, mpu = mirror_for(m).sync(m)
+            pool_xy, pool_desc, pool_oct = kf_pool_for(m).sync(m, targets)
+            cap_out = 4096
+            out_dev = fn(
+                jnp.asarray(tgt_ids), jnp.asarray(tgt_poses),
+                jnp.asarray(tgt_fvalid), jnp.asarray(cand_ids), mpf, mpu,
+                pool_xy, pool_desc, pool_oct)
+        # device round trip outside the lock (see process_keyframe)
+        out = np.asarray(out_dev)
+        with m.lock:
+            count = int(out[0])
+            if count:
+                t_i = out[1: 1 + cap_out][:count]
+                c_i = out[1 + cap_out: 1 + 2 * cap_out][:count]
+                f_i = out[1 + 2 * cap_out: 1 + 3 * cap_out][:count]
+                self._apply_fuse_matches(tgt_ids[t_i], cand_ids[t_i, c_i], f_i)
+            m.refresh_map_points(kf_mps)
 
     def _apply_fuse_matches(self, tgt_kf: np.ndarray, mp_src: np.ndarray,
                             feat_tgt: np.ndarray):
@@ -982,6 +1012,11 @@ class LocalMapper:
                            fix_vel_bias_of_fixed=False,
                            prior_g=prior_g, prior_a=prior_a,
                            abort_check=abort_check)
+        # a whole-map inertial solve can rescale/re-gravity the world: any
+        # pipelined tracking dispatch in flight was predicted in the old
+        # world and must be dropped at consume (Tracker.world_epoch guard)
+        if self.inertial is not None:
+            self.inertial.world_epoch += 1
 
     def _run_vi_joint(self, kf_id: int, window: int, iters: int,
                       fix_vel_bias_of_fixed: bool,
@@ -1154,14 +1189,62 @@ class LocalMapper:
                 len(o_kf), args)
 
     def _run_ba(self, prob, iters):
-        if self._ba_jit is None:
-            import functools
-            import jax
-            self._ba_jit = jax.jit(
-                functools.partial(ba_ops.local_ba, cam_type=self.cam_type,
-                                  chi2_th=ba_ops.CHI2_MONO),
-                static_argnames=("iters1", "iters2"))
-        return self._ba_jit(prob, jnp.asarray(self.K), iters1=iters[0], iters2=iters[1])
+        chunk = int(getattr(self, "ba_chunk", 0) or 0)
+        if chunk <= 0:
+            if self._ba_jit is None:
+                import functools
+                import jax
+                self._ba_jit = jax.jit(
+                    functools.partial(ba_ops.local_ba, cam_type=self.cam_type,
+                                      chi2_th=ba_ops.CHI2_MONO),
+                    static_argnames=("iters1", "iters2"))
+            return self._ba_jit(prob, jnp.asarray(self.K),
+                                iters1=iters[0], iters2=iters[1])
+        return self._run_ba_chunked(prob, iters, chunk)
+
+    def _run_ba_chunked(self, prob, iters, chunk):
+        """Cooperative-yield local BA: same two-phase LM schedule, issued as
+        several short device dispatches with the state carried ON DEVICE
+        between them (no extra host pulls). On a single chip all kernels
+        share one in-order execution queue, so a monolithic 15-iteration BA
+        dispatch makes concurrent tracking frames wait out its whole
+        runtime; chunking lets tracker kernels interleave between chunks —
+        the dispatch-queue analogue of the reference's mbAbortBA preemption
+        (src/LocalMapping.cc:184-185). Each chunk re-linearizes once at
+        entry (one extra linearization per chunk ≈ 1/chunk overhead) and
+        restarts LM damping at 1e-4 — measured no accuracy change on the
+        e2e fixtures."""
+        import functools
+        import jax
+        if not hasattr(self, "_ba_chunk_jit"):
+            self._ba_chunk_jit = jax.jit(
+                functools.partial(ba_ops.ba_iterate, cam_type=self.cam_type,
+                                  huber_chi2=ba_ops.CHI2_MONO),
+                static_argnames=("n_iters",))
+            self._ba_classify_jit = jax.jit(
+                functools.partial(ba_ops.classify_inliers,
+                                  cam_type=self.cam_type,
+                                  chi2_th=ba_ops.CHI2_MONO))
+        Kd = jnp.asarray(self.K)
+        p = prob
+        inlier = jnp.ones(p.obs_kf.shape[0], bool)
+        chi2 = None
+        for phase_iters in iters:
+            done = 0
+            while done < int(phase_iters):
+                n = min(chunk, int(phase_iters) - done)
+                R, t, pts = self._ba_chunk_jit(p, n_iters=n, inlier=inlier,
+                                               cam_params=Kd)
+                p = p._replace(R=R, t=t, pts=pts)
+                done += n
+            if phase_iters:
+                inlier, chi2 = self._ba_classify_jit(p, Kd)
+        if chi2 is None:
+            inlier, chi2 = self._ba_classify_jit(p, Kd)
+        return ba_ops.BAResult(
+            R=p.R, t=p.t, pts=p.pts, obs_inlier=inlier,
+            chi2=jnp.sum(jnp.where(inlier, chi2, 0.0)),
+            n_inlier=jnp.sum(inlier.astype(jnp.int32)))
 
     @staticmethod
     def _bucket(n: int, buckets):

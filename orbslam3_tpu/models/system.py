@@ -113,6 +113,12 @@ class SlamSystem:
         self.mapper.timer = self.timer
         self.mapper.kf_cull_redundancy = self._kf_cull_redundancy
         self.mapper.bf = self._bf
+        # async mode: chunk the mapper's BA into short device dispatches so
+        # concurrent tracking kernels interleave on the single in-order
+        # device queue (reference: tracking never waits on LocalMapping's BA,
+        # src/LocalMapping.cc:153-187); sync mode keeps the monolithic
+        # dispatch (deterministic, marginally cheaper)
+        self.mapper.ba_chunk = 3 if self.runtime is not None else 0
         self.mapper.preserve_temporal_chain = getattr(
             self.tracker, "imu_enabled", False)
         self.mapper.inertial = self.tracker

@@ -108,6 +108,22 @@ class TrackingParams:
     # constant-velocity prediction extrapolates the extra step and the
     # matching window widens accordingly)
     pipeline_depth: int = 1
+    # --- adaptive-gate toggles (scripts/gate_ablation.py; VERDICT r4 Weak
+    # #7: every empirically-tuned gate must be individually ablatable so a
+    # gate tuned on one fixture can be checked against the whole matrix) ---
+    # aliasing-divergence gate: reject a frame whose motion-model evidence
+    # n1 collapsed relative to its local-map inliers (tracking._track /
+    # _fused_consume; no reference counterpart)
+    gate_divergence: bool = True
+    # adaptive EMA collapse floor in _min_local_inliers (20% of the running
+    # inlier average; reference uses only absolute thresholds :3421-3454)
+    gate_ema_floor: bool = True
+    # split-sample scale-consistency check in monocular init
+    # (_monocular_init; no reference counterpart)
+    gate_init_split: bool = True
+    # anchored prediction + last-pose prior health gate (_predict_pose /
+    # _last_track_healthy; pose_prior_eps=0 disables the prior itself)
+    gate_anchor: bool = True
 
 
 class Tracker:
@@ -199,6 +215,14 @@ class Tracker:
         self.kf_preints: dict = {}       # kf_id -> PreintState since previous KF
         self.preint_since_kf = None
         self.frame_preint = None
+        # host mirror: does frame_preint span the last frame gap (set by
+        # _preintegrate_frame without any device pull)
+        self._frame_preint_covers = False
+        self._fused_track_vi = None      # built lazily on first VI fused frame
+        # bumped on whole-world transforms (IMU-init gravity/scale alignment,
+        # VIBA passes): a pipelined dispatch in flight across one was
+        # predicted/matched in the OLD world and must be dropped at consume
+        self.world_epoch = 0
 
         self.init_frame: Frame | None = None
         self.last_frame: Frame | None = None
@@ -215,7 +239,7 @@ class Tracker:
         self.inlier_ema: float | None = None
         # per-path frame counters (performance diagnosis; reported by bench)
         self.path_counts = {"fused": 0, "fused_retry": 0, "staged": 0,
-                            "reloc_frames": 0}
+                            "fused_vi": 0, "reloc_frames": 0}
         # Atlas hooks (set by the system): called when tracking stays lost
         # (reference CreateMapInAtlas src/Tracking.cc:2914) and for cross-map
         # relocalization that triggers a map merge
@@ -309,8 +333,14 @@ class Tracker:
         eps = 1e-6  # float timestamp jitter must not drop boundary samples
         take = [s for s in self.imu_queue if ts_prev + eps < s[0] <= ts_cur + eps]
         self.imu_queue = [s for s in self.imu_queue if s[0] > ts_cur + eps]
+        self._frame_preint_covers = False
         if not take:
             return None
+        # host-side coverage check (sum of sample dts vs the frame gap) so
+        # the fused-VI gate never pulls pre.dT from the device
+        self._frame_preint_covers = (
+            abs((take[min(len(take), cap) - 1][0] - ts_prev)
+                - (ts_cur - ts_prev)) < 0.02)
         n = min(len(take), cap)
         acc = np.zeros((cap, 3), np.float32)
         gyr = np.zeros((cap, 3), np.float32)
@@ -451,7 +481,7 @@ class Tracker:
         sub_span_ok = (len(pre) >= 6 and
                        float(m.kf_ts[chain[(2 * len(pre)) // 3]]
                              - m.kf_ts[chain[0]]) >= 2.0)
-        if self.bf <= 0 and not refine and sub_span_ok:
+        if self.bf <= 0 and not refine and sub_span_ok and self.p.gate_init_split:
             # split-sample consistency gate: mono scale near the observability
             # threshold is chaotic — a fit whose first-2/3 and last-2/3
             # sub-chains disagree on scale is not trustworthy yet (observed:
@@ -539,6 +569,7 @@ class Tracker:
         self.imu_bias_a = np.asarray(res.ba, np.float32)
         self.velocity = None  # const-velocity model invalid across rescale
         self.pose_prior_H = None   # marginal prior frame changed under it
+        self.world_epoch += 1      # drop pipelined dispatches from the old world
         if not self.imu_initialized:
             self.imu_init_ts = float(m.kf_ts[kfs[-1]])
         self.imu_initialized = True
@@ -566,7 +597,7 @@ class Tracker:
             self.last_frame = None
 
     def process_frame(self, img: np.ndarray, ts: float) -> dict:
-        if self.p.pipeline and not self.imu_enabled:
+        if self.p.pipeline:
             return self._process_frame_pipelined(img, ts)
         self._timestamp_guard(ts)
         fid = self.n_frames
@@ -600,18 +631,37 @@ class Tracker:
         the caller's inter-frame time + frame N+1's extraction dispatch."""
         fid = self.n_frames
         self.n_frames += 1
-        depth = max(1, int(getattr(self.p, "pipeline_depth", 1)))
         with self.timer.stage("1.orb_extraction"):
             feats = self.extract(jnp.asarray(np.asarray(img, np.float32)))
             frame = build_frame(fid, ts, feats)
+        return self._pipeline_step(frame, ts)
+
+    def _pipeline_step(self, frame: Frame, ts: float) -> dict:
+        """Shared pipelined tracking step (mono and stereo front ends):
+        flush the oldest in-flight frame, preintegrate, then dispatch this
+        frame's fused tracking (or fall back to the staged cascade)."""
+        depth = max(1, int(getattr(self.p, "pipeline_depth", 1)))
         info_prev = None
         if len(self._pending) >= depth:
             info_prev = self._flush_one()
         self._timestamp_guard(ts)
+        if self.imu_enabled and self.last_frame is not None:
+            # preintegration spans [last consumed frame, this frame]; at
+            # pipeline depth 1 the previous frame is always consumed by now,
+            # so the fused VI dispatch links consecutive frames exactly as
+            # the staged path does (reference PreintegrateIMU :1457)
+            with self.timer.stage("0.imu_preintegration"):
+                self.frame_preint = self._preintegrate_frame(
+                    self.last_frame.ts, ts)
+                self._accumulate_preint(self.frame_preint)
         with locked_current(self):
             if self.state == TrackState.NOT_INITIALIZED:
                 info_prev = self.flush_pending() or info_prev
-                ok = self._monocular_init(frame)
+                self._ensure_stereo_host(frame)
+                if self.bf > 0:
+                    ok = self._stereo_init(frame)
+                else:
+                    ok = self._monocular_init(frame)
                 self._log_trajectory(frame, tracked=ok)
                 self.last_frame = frame
                 return {"state": self.state.name, "init": ok}
@@ -624,6 +674,7 @@ class Tracker:
                         "state": self.state.name, "pending": True}
             # staged path needs a fully-consumed state: drain the pipeline
             info_prev = self.flush_pending() or info_prev
+            self._ensure_stereo_host(frame)
             with self.timer.stage("3.track_total"):
                 ok = self._track(frame, allow_fused=False)
             self._log_trajectory(frame, tracked=ok)
@@ -647,7 +698,8 @@ class Tracker:
         frame = pend["frame"]
         with locked_current(self):
             if pend["map"] is not self.map or \
-                    pend["map"].remap_epoch != pend.get("epoch", pend["map"].remap_epoch):
+                    pend["map"].remap_epoch != pend.get("epoch", pend["map"].remap_epoch) \
+                    or pend.get("wepoch", self.world_epoch) != self.world_epoch:
                 return None
             self.current_frame = frame
             with self.timer.stage("3g.fused_consume"):
@@ -668,11 +720,53 @@ class Tracker:
             else:
                 frame.feat_mp[:] = -1
                 self.path_counts["staged"] += 1
+                self._ensure_stereo_host(frame)
                 ok = self._track(frame, allow_fused=False)
             self._log_trajectory(frame, tracked=ok)
             self.last_frame = frame
             return {"state": self.state.name,
                     "inliers": frame.n_matched() if ok else 0}
+
+    def _stereo_frontend_jit(self):
+        """ONE fused dispatch for the whole stereo front end: L+R extraction
+        + row-constrained descriptor matching + subpixel disparity (the
+        reference splits this across two std::threads + ComputeStereoMatches,
+        src/Frame.cc:132-137, :1027). The right-x vector stays on device for
+        the fused tracking dispatch; the host mirror materializes lazily
+        (_ensure_stereo_host)."""
+        if not hasattr(self, "_stereo_fe"):
+            import jax
+            from ..ops import stereo as stereo_ops
+            sfs = jnp.asarray(self.map.scale_factors)
+            bf = jnp.asarray(self.bf, jnp.float32)
+            extract = self.extract
+
+            @jax.jit
+            def fe(img_l, img_r):
+                fl = extract(img_l)
+                fr = extract(img_r)
+                ur, _depth, ok = stereo_ops.stereo_match(
+                    fl.xy, fl.desc, fl.octave, fl.valid,
+                    fr.xy, fr.desc, fr.octave, fr.valid,
+                    sfs, bf, jnp.asarray(0.1, jnp.float32))
+                ur, ok = stereo_ops.subpixel_refine(img_l, img_r, fl.xy, ur, ok)
+                disp = fl.xy[:, 0] - ur
+                ur = jnp.where(ok & (disp > 0.1), ur,
+                               jnp.asarray(-1.0, jnp.float32))
+                return fl, ur
+            self._stereo_fe = fe
+        return self._stereo_fe
+
+    def _process_stereo_pipelined(self, img_l, img_r, ts: float) -> dict:
+        fid = self.n_frames
+        self.n_frames += 1
+        with self.timer.stage("1.orb_extraction"):
+            fl, ur = self._stereo_frontend_jit()(
+                jnp.asarray(np.asarray(img_l, np.float32)),
+                jnp.asarray(np.asarray(img_r, np.float32)))
+            frame = build_frame(fid, ts, fl, self.K, self.D)
+            frame._ur_dev = ur
+        return self._pipeline_step(frame, ts)
 
     def process_stereo_frame(self, img_l: np.ndarray, img_r: np.ndarray,
                              ts: float) -> dict:
@@ -681,6 +775,8 @@ class Tracker:
         src/Tracking.cc:1257 + Frame stereo ctor src/Frame.cc:103)."""
         import jax.numpy as jnp
         from ..ops import stereo as stereo_ops
+        if self.p.pipeline and self.rig is None:
+            return self._process_stereo_pipelined(img_l, img_r, ts)
         self._timestamp_guard(ts)
         fid = self.n_frames
         self.n_frames += 1
@@ -1037,6 +1133,8 @@ class Tracker:
         lf = self.last_frame
         if lf is None or not lf.tracked:
             return False
+        if not self.p.gate_anchor:      # ablation: unconditional protections
+            return True
         # 6% of the feature budget: the walk-revisit frozen state sits at
         # ~5% while ordinary low-overlap phases (VI fixtures dip to ~10%)
         # must keep the protections on
@@ -1078,10 +1176,20 @@ class Tracker:
         fm[order[dup]] = -1
 
     def _can_fuse_track(self) -> bool:
-        return (self.state == TrackState.OK and self.use_fused_track
-                and not self.imu_initialized
-                and self.velocity is not None and self.last_frame is not None
-                and self.p.local_passes == 1 and self.p.pose_starts == 1)
+        if not (self.state == TrackState.OK and self.use_fused_track
+                and self.last_frame is not None
+                and self.p.local_passes == 1 and self.p.pose_starts == 1):
+            return False
+        if self.imu_initialized:
+            # visual-inertial fused path (fused_track_vi_pooled): needs a
+            # valid per-frame preintegration spanning exactly the frame gap
+            # and a tracked previous state to propagate from
+            lf = self.last_frame
+            return (self.frame_preint is not None
+                    and self._frame_preint_covers
+                    and lf.tracked and lf.R is not None
+                    and self.velocity_w is not None)
+        return self.velocity is not None
 
     def _track(self, frame: Frame, allow_fused: bool = True) -> bool:
         # registered so a mid-frame world transform (IMU init / VIBA gravity-
@@ -1123,7 +1231,7 @@ class Tracker:
         if ok and not getattr(frame, "_fused_done", False):
             with self.timer.stage("3b.track_local_map"):
                 ok = self._track_local_map(frame)
-            if (ok and self._n1_last is not None
+            if (ok and self.p.gate_divergence and self._n1_last is not None
                     and self._n1_last < max(10, 0.1 * self.n_local_inliers)):
                 # aliasing-divergence signature (see _fused_consume)
                 ok = False
@@ -1552,6 +1660,49 @@ class Tracker:
         inl = self._optimize_frame_pose(frame)
         return inl >= p.min_motion_inliers
 
+    def _frame_gap(self, frame: Frame) -> float:
+        lf = self.last_frame
+        return float(frame.ts - lf.ts) if lf is not None else 0.05
+
+    def _frame_ur_dev(self, frame: Frame):
+        """Device right-x vector for the fused kernels: the pipelined stereo
+        front end keeps it on device (no host round trip); otherwise upload
+        the host mirror."""
+        ur_dev = getattr(frame, "_ur_dev", None)
+        return ur_dev if ur_dev is not None else jnp.asarray(frame.ur)
+
+    def _ensure_stereo_host(self, frame: Frame) -> None:
+        """Materialize the host ur/depth of a pipelined stereo frame (kept
+        device-resident for the fused dispatch; host code — keyframe
+        creation's close-point spawning, stereo init, the staged fallback —
+        needs the numpy mirrors)."""
+        ur_dev = getattr(frame, "_ur_dev", None)
+        if ur_dev is None:
+            return
+        urn = np.asarray(ur_dev)
+        disp = frame.xy[:, 0] - urn
+        okn = (urn >= 0) & (disp > 0.1)
+        frame.ur = np.where(okn, urn, -1.0).astype(np.float32)
+        frame.depth = np.where(
+            okn, self.bf / np.maximum(disp, 1e-6), -1.0).astype(np.float32)
+        frame._ur_dev = None
+
+    def _get_fused_track_vi(self):
+        """Lazily build the fused VI tracking kernel (compiled only when a
+        map actually reaches the IMU-initialized state)."""
+        if self._fused_track_vi is None:
+            depth = max(1, int(getattr(self.p, "pipeline_depth", 1)))
+            r_scale = 1.0 + 0.5 * (depth - 1)
+            self._fused_track_vi = kernels.fused_track_vi_pooled(
+                self.cam_type, self.orb_cfg.n_levels, self.orb_cfg.scale,
+                self._cam_key, self._wh_key, float(self.bf),
+                float(self.p.motion_radius * r_scale),
+                float(self.p.local_radius * r_scale),
+                float(self.p.motion_ratio), float(self.p.local_ratio),
+                int(self.p.th_high),
+                float(self.imu_noise[2]), float(self.imu_noise[3]))
+        return self._fused_track_vi
+
     def _track_fused(self, frame: Frame) -> bool:
         """One-dispatch visual tracking (kernels.fused_track_pooled): the
         motion-model stage and the local-map stage — two matchings and two
@@ -1583,7 +1734,14 @@ class Tracker:
             if len(vk) == 0:
                 return None
             self.ref_kf = int(vk[-1])
-        self._predict_pose(frame)
+        vi = self.imu_initialized
+        if not vi:
+            self._predict_pose(frame)
+        else:
+            # IMU prediction happens inside the fused VI kernel; seed the
+            # frame pose host-side too so a fused-miss fallback starts sane
+            frame.R = lf.R.copy()
+            frame.t = lf.t.copy()
         self._check_replaced_in_last_frame()
         last_mps = lf.feat_mp[lf.feat_mp >= 0]
         ids_last = np.unique(last_mps)
@@ -1605,23 +1763,56 @@ class Tracker:
         ids_packed[: len(ids_last)] = ids_last
         ids_packed[cap_l: cap_l + len(loc_ids)] = loc_ids
 
-        use_prior = (lf.tracked and lf.R is not None
-                     and p.pose_prior_eps > 0.0
-                     and self._last_track_healthy())
-        pR, pt = (lf.R, lf.t) if use_prior else (frame.R, frame.t)
-        eps = p.pose_prior_eps if use_prior else 0.0
-        pose_in = np.empty(25, np.float32)
-        pose_in[0:9] = frame.R.reshape(-1)
-        pose_in[9:12] = frame.t
-        pose_in[12:21] = np.asarray(pR).reshape(-1)
-        pose_in[21:24] = pt
-        pose_in[24] = eps
         mpf, mpu = self._mirror_for(m).sync(m)
         dev = frame.dev
-        out_dev = self.fused_track(
-            jnp.asarray(pose_in), jnp.asarray(ids_packed), mpf, mpu,
-            dev.xy, dev.desc, dev.octave, dev.valid,
-            jnp.asarray(frame.ur), cl=cap_l)
+        if vi:
+            # pack the previous body state + biases + carried marginal prior
+            # (reference PredictStateIMU inputs + ConstraintPoseImu)
+            st = np.empty(247, np.float32)
+            R1_wb = lf.R.T
+            st[0:9] = R1_wb.reshape(-1)
+            st[9:12] = -R1_wb @ lf.t
+            st[12:15] = self.velocity_w
+            st[15:18] = self.imu_bias_g
+            st[18:21] = self.imu_bias_a
+            pH = self.pose_prior_H
+            if pH is not None:
+                dT_prev = getattr(self, "pose_prior_dT", None)
+                dT_now = max(self._frame_gap(frame), 1e-3)
+                if dT_prev is not None and abs(dT_prev - dT_now) > 1e-6:
+                    r = np.sqrt(dT_now / max(dT_prev, 1e-3))
+                    d = np.ones(15, np.float32)
+                    d[9:15] = r
+                    pH = pH * d[:, None] * d[None, :]
+                st[21:246] = pH.reshape(-1)
+            else:
+                # no carried prior (first frame after a keyframe / world
+                # transform): anchor the previous state RIGIDLY — the staged
+                # path's use_prior=False fixes it outright, and a soft anchor
+                # weaker than the visual information lets the previous state
+                # absorb inertial residual and corrupts the carried H_marg
+                st[21:246] = (1e10 * np.eye(15, dtype=np.float32)).reshape(-1)
+            st[246] = p.pose_prior_eps
+            out_dev = self._get_fused_track_vi()(
+                jnp.asarray(st), jnp.asarray(ids_packed), mpf, mpu,
+                dev.xy, dev.desc, dev.octave, dev.valid,
+                self._frame_ur_dev(frame), self.frame_preint, cl=cap_l)
+        else:
+            use_prior = (lf.tracked and lf.R is not None
+                         and p.pose_prior_eps > 0.0
+                         and self._last_track_healthy())
+            pR, pt = (lf.R, lf.t) if use_prior else (frame.R, frame.t)
+            eps = p.pose_prior_eps if use_prior else 0.0
+            pose_in = np.empty(25, np.float32)
+            pose_in[0:9] = frame.R.reshape(-1)
+            pose_in[9:12] = frame.t
+            pose_in[12:21] = np.asarray(pR).reshape(-1)
+            pose_in[21:24] = pt
+            pose_in[24] = eps
+            out_dev = self.fused_track(
+                jnp.asarray(pose_in), jnp.asarray(ids_packed), mpf, mpu,
+                dev.xy, dev.desc, dev.octave, dev.valid,
+                self._frame_ur_dev(frame), cl=cap_l)
         # pull the packed result in a background thread: np.asarray blocks on
         # the tunnel round trip with the GIL released, so by consume time
         # (next frame) the data has landed and join() is ~free
@@ -1638,7 +1829,9 @@ class Tracker:
         return {"frame": frame, "out": out_dev, "ids": ids_packed,
                 "n_loc": len(loc_ids), "cap_l": cap_l, "cap_c": cap_c,
                 "map": m, "epoch": m.remap_epoch,
-                "thread": th, "holder": holder}
+                "thread": th, "holder": holder,
+                "vi": vi, "dT": max(self._frame_gap(frame), 1e-3),
+                "wepoch": self.world_epoch}
 
     def _fused_consume(self, pend) -> bool:
         p = self.p
@@ -1670,7 +1863,7 @@ class Tracker:
                   f"min={min_inl} nc={nc} ref_kf={self.ref_kf}", flush=True)
         if n1 < p.min_motion_matches or inl < min_inl:
             return False
-        if n1 < max(10, 0.1 * inl):
+        if self.p.gate_divergence and n1 < max(10, 0.1 * inl):
             # aliasing-divergence signature: the frame barely re-finds the
             # LAST frame's own points (tight-window, same-view matching is
             # alias-resistant) while the wide local-map search still reports
@@ -1686,6 +1879,28 @@ class Tracker:
         off = 14 + 2 * N
         nw_f = (cap_c + 31) // 32
         frustum_bits = out[off: off + nw_f]
+        if pend.get("vi"):
+            # unpack + adopt the inertial state (velocity, biases, carried
+            # 15-dim marginal prior — reference PoseInertialOptimizationLast
+            # Frame keeps mVw/biases and builds mpcpi, src/Optimizer.cc:7785)
+            off_vi = off + nw_f + (N + 31) // 32
+            vi_f = out[off_vi: off_vi + 234].view(np.float32)
+            v = vi_f[0:3]
+            bgn = vi_f[3:6]
+            ban = vi_f[6:9]
+            Hm = vi_f[9:234].reshape(15, 15)
+            if not np.isfinite(v).all():
+                return False
+            self.velocity_w = v.astype(np.float32).copy()
+            if np.isfinite(bgn).all() and np.isfinite(ban).all():
+                self.imu_bias_g = bgn.astype(np.float32).copy()
+                self.imu_bias_a = ban.astype(np.float32).copy()
+            import os as _os2
+            if np.isfinite(Hm).all() and not _os2.environ.get("DBG_NO_VIPRIOR"):
+                self.pose_prior_H = Hm.astype(np.float32).copy()
+                self.pose_prior_dT = pend["dT"]
+            else:
+                self.pose_prior_H = None
         frame.feat_mp[:] = -1
         sel_l = al >= 0
         frame.feat_mp[sel_l] = ids_packed[al[sel_l]]
@@ -1705,6 +1920,8 @@ class Tracker:
             self.ref_kf = int(np.argmax(counts))
         self.n_local_inliers = inl
         frame._fused_done = True
+        if pend.get("vi"):
+            self.path_counts["fused_vi"] += 1
         return True
 
     def _min_local_inliers(self) -> int:
@@ -1724,7 +1941,7 @@ class Tracker:
             return 15
         base = self.p.min_local_inliers
         ema = self.inlier_ema
-        if ema is not None and ema > 3.0 * base:
+        if self.p.gate_ema_floor and ema is not None and ema > 3.0 * base:
             return max(base, int(0.2 * ema))
         return base
 
@@ -2035,6 +2252,7 @@ class Tracker:
 
     def _create_new_keyframe(self, frame: Frame):
         m = self.map
+        self._ensure_stereo_host(frame)
         k = m.add_keyframe(frame.R, frame.t, frame.ts, frame.frame_id,
                            frame.xy, frame.angle, frame.octave, frame.desc,
                            frame.valid, feat_mp=frame.feat_mp.copy(),

@@ -207,9 +207,18 @@ def _gn_step_from_lin(p: BAProblem, pts, R, t, lin, lam):
     Hll = Hll + jax.vmap(jnp.diag)(lam * diagl + 1e-6)
     Hll_inv = inv3(Hll)
 
-    # Schur: S = Hpp - sum_p B_p Hll_p^-1 B_p^T  (batched MXU einsum)
-    C = jnp.einsum("pkil,plm->pkim", B, Hll_inv)                        # (P,K,6,3)
-    S2 = jnp.einsum("pkim,pqjm->kiqj", C, B)                            # (K,6,K,6)
+    # Schur: S = Hpp - sum_p B_p Hll_p^-1 B_p^T  (batched MXU einsum).
+    # These two contractions are the solver's MXU-bound FLOPs; the global
+    # jax_default_matmul_precision="highest" costs a 6-pass f32 emulation
+    # here (r4 BA regression). ORBSLAM3_BA_SCHUR_PRECISION=high runs the
+    # 3-pass variant (~f32 accuracy on the reduction, half the MXU passes);
+    # the default stays "highest" until the on-chip ATE A/B confirms parity.
+    _prec = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}[
+        __import__("os").environ.get("ORBSLAM3_BA_SCHUR_PRECISION", "highest")]
+    C = jnp.einsum("pkil,plm->pkim", B, Hll_inv, precision=_prec)       # (P,K,6,3)
+    S2 = jnp.einsum("pkim,pqjm->kiqj", C, B, precision=_prec)           # (K,6,K,6)
     S = -S2
     S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)
     bs = bp - jnp.einsum("pkim,pm->ki", C, bl)
@@ -295,6 +304,19 @@ def ba_iterate(
         (p.R, p.t, p.pts, jnp.asarray(1e-4, dtype), cost_e0, lin0)
     )
     return R, t, pts
+
+
+def classify_inliers(p: BAProblem, cam_params: jax.Array,
+                     cam_type: int = cam_ops.PINHOLE,
+                     chi2_th: float = CHI2_MONO):
+    """Chi2 classification at the problem's current state (the between-phase
+    reclassification of reference LocalBundleAdjustment
+    src/Optimizer.cc:2205-2270, exposed for the chunked host-driven
+    schedule). Returns (inlier (O,), chi2 (O,))."""
+    chi2, _, _, _, _ = _linearize(
+        p, p.pts, p.R, p.t, p.obs_valid.astype(p.pts.dtype), cam_type,
+        cam_params, jnp.sqrt(jnp.asarray(chi2_th, p.pts.dtype)))
+    return (chi2 < chi2_th) & p.obs_valid, chi2
 
 
 def local_ba(

@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(out_path=None):
+def main(out_path=None, levels=4, n_scenes=6, imgs_per_scene=20):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -35,10 +35,10 @@ def main(out_path=None):
     rng = np.random.default_rng(0)
     all_desc, per_image_words_src = [], []
     t0 = time.time()
-    for seed in range(6):
+    for seed in range(n_scenes):
         scene = RoomScene(seed=seed, h=h, w=w, fx=229.3, fy=228.6,
                           cx=188.0, cy=120.0, n_clutter=5)
-        for i in range(20):
+        for i in range(imgs_per_scene):
             c = np.array([rng.uniform(-2.5, 2.5), rng.uniform(-1.2, 1.2),
                           rng.uniform(0.5, 4.0)])
             yaw = rng.uniform(-0.6, 0.6)
@@ -46,6 +46,9 @@ def main(out_path=None):
             R_wc = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
             R = R_wc.T
             img = scene.render(R, -R @ c)
+            # exposure/blur jitter: a descriptor corpus from clean renders
+            # under-represents the intensity-noise modes real imagery has
+            img = img * rng.uniform(0.7, 1.3) + rng.normal(0, 3.0, img.shape)
             f = extract(jnp.asarray(img.astype(np.float32)))
             valid = np.asarray(f.valid)
             all_desc.append(np.asarray(f.desc)[valid])
@@ -55,7 +58,7 @@ def main(out_path=None):
     print("training on", len(desc), "descriptors")
 
     from orbslam3_tpu.ops.vocab import BinaryVocabulary
-    vocab = BinaryVocabulary(k=10, levels=4).train(desc, seed=1)
+    vocab = BinaryVocabulary(k=10, levels=levels).train(desc, seed=1)
     print(f"trained {vocab.n_words} words ({time.time()-t0:.0f}s)")
 
     # corpus pass for idf
@@ -73,4 +76,13 @@ def main(out_path=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else None)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default=None)
+    ap.add_argument("--levels", type=int, default=4,
+                    help="tree depth (k=10): 4 -> 10k words, 5 -> 100k")
+    ap.add_argument("--scenes", type=int, default=6)
+    ap.add_argument("--images", type=int, default=20,
+                    help="images per scene (100k words wants >=40 scenes x 30)")
+    a = ap.parse_args()
+    main(a.out, levels=a.levels, n_scenes=a.scenes, imgs_per_scene=a.images)
