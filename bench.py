@@ -131,11 +131,14 @@ def bench_system_e2e(n_frames: int = 300, warmup: int = 30):
     # tail attribution showed timed-section xla_compile as the single
     # largest latency term (~150 s of a 136 s-wall run).
     def make_system():
+        # depth 1: measured BEST on this host — depth 2's two-frame candidate
+        # lag cost 45 stale-miss retries + 51 staged fallbacks and a worse
+        # map (r5 A/B), while p50 latency was unchanged (the pull already
+        # overlaps extraction at depth 1)
         return SlamSystem(scene.K, None, (scene.w, scene.h), n_features=1024,
                           seed=0, mapping_mode="async",
                           tracking_params=TrackingParams(
-                              kf_interval_override=5, pipeline=True,
-                              pipeline_depth=2))
+                              kf_interval_override=5, pipeline=True))
     warm = make_system()
     for i in range(n_frames):
         warm.track_monocular(imgs[i], ts=float(i) / 20.0)

@@ -107,8 +107,24 @@ def _default_vocabulary() -> vocab_ops.BinaryVocabulary:
     global _DEFAULT_VOCAB
     if _DEFAULT_VOCAB is None:
         import os
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "data", "vocab_synth.npz")
+        data_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data")
+        # a real DBoW2 vocabulary takes precedence when present: point
+        # ORBSLAM3_VOCAB at an ORBvoc.txt (reference text format,
+        # TemplatedVocabulary::loadFromTextFile) or a trained .npz, or drop
+        # ORBvoc.txt into the package data dir. The sparse-BowVector path
+        # keeps per-keyframe storage O(features) at any vocabulary size.
+        env = os.environ.get("ORBSLAM3_VOCAB", "")
+        candidates = ([env] if env else []) + [
+            os.path.join(data_dir, "ORBvoc.txt")]
+        for c in candidates:
+            if c and os.path.exists(c):
+                if c.endswith(".npz"):
+                    _DEFAULT_VOCAB = vocab_ops.BinaryVocabulary.load(c)
+                else:
+                    _DEFAULT_VOCAB = vocab_ops.load_dbow2_text(c)
+                return _DEFAULT_VOCAB
+        path = os.path.join(data_dir, "vocab_synth.npz")
         if os.path.exists(path):
             _DEFAULT_VOCAB = vocab_ops.BinaryVocabulary.load(path)
         else:

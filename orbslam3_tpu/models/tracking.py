@@ -2217,6 +2217,7 @@ class Tracker:
         is_mono = self.bf <= 0
         need_close = False
         if not is_mono and self.th_depth > 0:
+            self._ensure_stereo_host(frame)   # pipelined stereo: depth is lazy
             close = (frame.depth > 0) & (frame.depth < self.th_depth)
             n_tracked_close = int((close & (frame.feat_mp >= 0)).sum())
             n_untracked_close = int((close & (frame.feat_mp < 0)).sum())

@@ -210,13 +210,15 @@ def _gn_step_from_lin(p: BAProblem, pts, R, t, lin, lam):
     # Schur: S = Hpp - sum_p B_p Hll_p^-1 B_p^T  (batched MXU einsum).
     # These two contractions are the solver's MXU-bound FLOPs; the global
     # jax_default_matmul_precision="highest" costs a 6-pass f32 emulation
-    # here (r4 BA regression). ORBSLAM3_BA_SCHUR_PRECISION=high runs the
-    # 3-pass variant (~f32 accuracy on the reduction, half the MXU passes);
-    # the default stays "highest" until the on-chip ATE A/B confirms parity.
+    # here (r4 BA regression). Default = HIGH (3-pass): measured on-chip
+    # +6% iters/s at K=64/256 with chi2 relative difference <= 2e-4 vs
+    # HIGHEST (scripts/bench_ba_precision.py) — ~f32 accuracy on the
+    # reduction at half the MXU passes. Override via
+    # ORBSLAM3_BA_SCHUR_PRECISION.
     _prec = {"default": jax.lax.Precision.DEFAULT,
              "high": jax.lax.Precision.HIGH,
              "highest": jax.lax.Precision.HIGHEST}[
-        __import__("os").environ.get("ORBSLAM3_BA_SCHUR_PRECISION", "highest")]
+        __import__("os").environ.get("ORBSLAM3_BA_SCHUR_PRECISION", "high")]
     C = jnp.einsum("pkil,plm->pkim", B, Hll_inv, precision=_prec)       # (P,K,6,3)
     S2 = jnp.einsum("pkim,pqjm->kiqj", C, B, precision=_prec)           # (K,6,K,6)
     S = -S2

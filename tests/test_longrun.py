@@ -27,6 +27,9 @@ from orbslam3_tpu.models.tracking import TrackingParams, TrackState
 from orbslam3_tpu.utils.datasets import RoomScene
 from orbslam3_tpu.utils.evaluation import evaluate_trajectory
 
+# multi-hundred-frame bounded-cost runs — excluded from the fast profile (pytest.ini)
+pytestmark = pytest.mark.slow
+
 N_FRAMES = int(os.environ.get("ORBSLAM3_LONGRUN_FRAMES", "600"))
 PERIOD = 400
 FPS = 20.0

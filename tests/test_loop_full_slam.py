@@ -14,6 +14,9 @@ from orbslam3_tpu.models.system import SlamSystem
 from orbslam3_tpu.models.tracking import TrackState
 from orbslam3_tpu.utils.datasets import RoomScene
 
+# full SLAM loop-closure sequences (~12 min batch) — excluded from the fast profile (pytest.ini)
+pytestmark = pytest.mark.slow
+
 PERIOD = 112     # (was 160) — the fixture's wall clock is dominated by the
 # PERIOD cached renders; 112 keeps the loop long enough for the 3-KF
 # temporal-consistency phase while fitting the suite budget (VERDICT r3 #8)

@@ -25,6 +25,9 @@ import pytest
 from orbslam3_tpu.models.loop_closing import LoopCloser
 from orbslam3_tpu.models.map import MapConfig, MapState
 
+# 64-KF drifted-map merge — excluded from the fast profile (pytest.ini)
+pytestmark = pytest.mark.slow
+
 K_CAM = np.asarray([458.0, 458.0, 376.0, 240.0], np.float32)
 N_KF = 64
 WELD = list(range(60, 64))

@@ -5,6 +5,7 @@ merges must migrate velocities, biases, right-eye pixels, spanning-tree
 parents and the preintegration chain (reference MergeLocal2,
 src/LoopClosing.cc:2210-2442)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import sys
@@ -13,6 +14,9 @@ from tests.test_imu_init import simulate  # noqa: E402
 from orbslam3_tpu.models.map import MapConfig  # noqa: E402
 from orbslam3_tpu.models.system import SlamSystem  # noqa: E402
 from orbslam3_tpu.ops import lie  # noqa: E402
+
+# inertial loop/merge consistency sequences — excluded from the fast profile (pytest.ini)
+pytestmark = pytest.mark.slow
 
 K_CAM = np.asarray([458.0, 458.0, 376.0, 240.0], np.float32)
 
